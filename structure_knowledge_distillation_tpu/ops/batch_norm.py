@@ -1,0 +1,154 @@
+"""Activated (sync) batch normalization — the TPU-native InPlaceABN(Sync).
+
+The reference backs every conv block with `InPlaceABN(Sync)` (reference:
+libs/bn.py:48-193), a CUDA extension (reference: libs/src/bn.cu) plus a
+Python-queue cross-GPU protocol (reference: libs/functions.py:177-209) that
+exists to (a) fuse BN + activation, (b) normalize in place to save memory, and
+(c) synchronize statistics across data-parallel replicas.
+
+On TPU all three collapse:
+  (a) XLA fuses the normalize+activate elementwise chain into neighbouring
+      ops (and an optional Pallas kernel is provided in `pallas_bn.py`),
+  (b) rematerialization + buffer donation replace in-place memory tricks,
+  (c) statistics over the *global* batch are automatic when the step is jitted
+      over a `Mesh` with the batch sharded on the `data` axis — XLA turns the
+      full-batch mean into an ICI all-reduce. An explicit `axis_name` is also
+      supported for `shard_map`/`pmap` style code.
+
+Semantics kept bit-compatible with the reference where it matters for
+checkpoint import / numeric parity:
+  * gamma = |weight| + eps (reference: libs/src/bn.cu:153),
+  * biased variance for normalization, Bessel-corrected running-var update
+    (reference: libs/functions.py:91,209),
+  * activation in {none, leaky_relu(0.01), elu} (reference: libs/bn.py:65).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["ABN", "BatchNorm2d", "abn_normalize"]
+
+
+def _apply_activation(x: jnp.ndarray, activation: str, slope: float) -> jnp.ndarray:
+    if activation == "none":
+        return x
+    if activation == "leaky_relu":
+        return jnp.where(x >= 0, x, x * slope)
+    if activation == "elu":
+        return jnp.where(x >= 0, x, jnp.expm1(x))
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def abn_normalize(
+    x: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    weight: Optional[jnp.ndarray],
+    bias: Optional[jnp.ndarray],
+    *,
+    eps: float,
+    activation: str = "none",
+    slope: float = 0.01,
+    abs_gamma: bool = True,
+) -> jnp.ndarray:
+    """The (pure-XLA) normalize + affine + activation core, NHWC, f32 math."""
+    inv_std = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    if weight is not None:
+        gamma = jnp.abs(weight) + eps if abs_gamma else weight
+        scale = gamma.astype(jnp.float32) * inv_std
+    else:
+        scale = inv_std
+    shift = bias.astype(jnp.float32) if bias is not None else 0.0
+    y = (x.astype(jnp.float32) - mean.astype(jnp.float32)) * scale + shift
+    y = _apply_activation(y, activation, slope)
+    return y.astype(x.dtype)
+
+
+class ABN(nn.Module):
+    """Activated batch norm over the channel (last) axis of an NHWC tensor.
+
+    Attributes:
+      momentum: torch-convention update, running = (1-m)*running + m*batch.
+      activation: 'none' | 'leaky_relu' | 'elu' (fused after normalization).
+      abs_gamma: use gamma = |weight| + eps (the reference ABN convention).
+      axis_name: optional mesh axis to pmean batch statistics over. Leave
+        None under pjit/global-sharding (sync is implicit).
+      use_running_average: eval mode (frozen statistics) when True.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    activation: str = "none"
+    slope: float = 0.01
+    abs_gamma: bool = True
+    affine: bool = True
+    axis_name: Optional[str] = None
+    use_running_average: Optional[bool] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        features = x.shape[-1]
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (features,), self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
+        else:
+            weight = bias = None
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name=self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, axis_name=self.axis_name)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+
+            if not self.is_initializing():
+                n = x.size // features
+                if self.axis_name is not None:
+                    n *= jax.lax.psum(1, axis_name=self.axis_name)
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * (var * bessel)
+
+        return abn_normalize(
+            x,
+            mean,
+            var,
+            weight,
+            bias,
+            eps=self.eps,
+            activation=self.activation,
+            slope=self.slope,
+            abs_gamma=self.abs_gamma,
+        )
+
+
+class BatchNorm2d(ABN):
+    """Plain torch-style BatchNorm2d (no |gamma| quirk, no activation).
+
+    Used by the discriminator's preprocess layer (reference:
+    networks/sagan_models.py:148), which is a stock `nn.BatchNorm2d`.
+    """
+
+    activation: str = "none"
+    abs_gamma: bool = False

@@ -1,0 +1,98 @@
+"""Pooling ops with torch-compatible semantics, built on XLA reduce_window.
+
+Two pooling quirks of the reference are load-bearing for shape/number parity:
+
+  * ceil-mode max pooling — the ResNet stem pool (reference:
+    networks/pspnet_combine.py:130) turns 512² training crops into 65×65
+    feature maps (not 64×64), which sets the discriminator geometry
+    (`imsize_for_adv=65`, reference: utils/train_options.py:53), and the
+    pairwise-distillation pool (reference: utils/criterion.py:243) is also
+    ceil-mode.
+  * torch-style adaptive average pooling with floor/ceil bin edges (reference:
+    networks/pspnet_combine.py:103) — bins overlap when the input size does
+    not divide the output size (65 → 6 bins). We express it as two small
+    dense averaging matmuls (MXU) instead of a gather loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["max_pool_2d", "adaptive_avg_pool_2d", "avg_pool_matrix"]
+
+
+def _pool_out_size(length: int, kernel: int, stride: int, pad: int, ceil_mode: bool) -> int:
+    """Output length of a 1-D pooling, torch rules."""
+    if ceil_mode:
+        out = -(-(length + 2 * pad - kernel) // stride) + 1
+        # torch: the last window must start inside the input or left padding.
+        if (out - 1) * stride >= length + pad:
+            out -= 1
+    else:
+        out = (length + 2 * pad - kernel) // stride + 1
+    return out
+
+
+def max_pool_2d(
+    x: jnp.ndarray,
+    kernel: tuple[int, int],
+    stride: tuple[int, int] | None = None,
+    padding: tuple[int, int] = (0, 0),
+    ceil_mode: bool = False,
+) -> jnp.ndarray:
+    """Max pooling over the H, W axes of an NHWC tensor, torch semantics.
+
+    Padding is with -inf (so padded positions never win), and ceil_mode adds
+    the extra high-side padding needed to realize the torch output size.
+    """
+    if stride is None:
+        stride = kernel
+    n, h, w, c = x.shape
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    out_h = _pool_out_size(h, kh, sh, ph, ceil_mode)
+    out_w = _pool_out_size(w, kw, sw, pw, ceil_mode)
+    hi_h = (out_h - 1) * sh + kh - h - ph
+    hi_w = (out_w - 1) * sw + kw - w - pw
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, max(hi_h, 0)), (pw, max(hi_w, 0)), (0, 0)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _avg_pool_matrix_np(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_out, n_in) torch-adaptive-average-pool operator."""
+    a = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        start = (i * n_in) // n_out
+        end = -(-((i + 1) * n_in) // n_out)  # ceil
+        a[i, start:end] = 1.0 / (end - start)
+    return a.astype(np.float32)
+
+
+def avg_pool_matrix(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.asarray(_avg_pool_matrix_np(n_in, n_out), dtype=dtype)
+
+
+def adaptive_avg_pool_2d(x: jnp.ndarray, output_size: tuple[int, int]) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d on an NHWC tensor, as two dense matmuls."""
+    n, h, w, c = x.shape
+    oh, ow = output_size
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    a_h = avg_pool_matrix(h, oh)
+    a_w = avg_pool_matrix(w, ow)
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,nhwc->nowc", a_h, xf, precision=hi)
+    y = jnp.einsum("pw,nhwc->nhpc", a_w, y, precision=hi)
+    return y.astype(orig_dtype)

@@ -1,0 +1,215 @@
+"""Parity tests for core ops against torch CPU (the semantics oracle).
+
+The reference's numerics hinge on align_corners=True bilinear resize,
+ceil-mode max pooling, torch adaptive average pooling, and ABN batch norm
+(gamma = |w| + eps). Each op here is checked against the literal torch
+behavior on random inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from structure_knowledge_distillation_tpu.ops import (
+    ABN,
+    BatchNorm2d,
+    adaptive_avg_pool_2d,
+    max_pool_2d,
+    resize_bilinear_align_corners,
+)
+
+
+def nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def to_nhwc(x_nchw: torch.Tensor) -> np.ndarray:
+    return np.transpose(x_nchw.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize(
+    "in_size,out_size",
+    [((65, 65), (512, 512)), ((8, 8), (64, 64)), ((129, 257), (64, 128)),
+     ((1, 1), (13, 13)), ((7, 9), (7, 9)), ((33, 17), (1, 1))],
+)
+def test_resize_align_corners_matches_torch(in_size, out_size):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, *in_size, 5).astype(np.float32)
+    ours = resize_bilinear_align_corners(jnp.asarray(x), out_size)
+    theirs = F.interpolate(nchw(x), size=out_size, mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "hw,kernel,stride,pad,ceil",
+    [
+        ((256, 256), (3, 3), (2, 2), (1, 1), True),   # ResNet stem: 256 -> 129
+        ((512, 1024), (3, 3), (2, 2), (1, 1), True),  # eval-res stem
+        ((65, 65), (32, 32), (32, 32), (0, 0), True),  # pairwise-loss pool -> 3x3
+        ((64, 64), (32, 32), (32, 32), (0, 0), True),  # even case -> 2x2
+        ((17, 23), (3, 2), (2, 3), (1, 0), True),
+        ((17, 23), (3, 2), (2, 3), (1, 0), False),
+    ],
+)
+def test_max_pool_matches_torch(hw, kernel, stride, pad, ceil):
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, *hw, 3).astype(np.float32)
+    ours = max_pool_2d(jnp.asarray(x), kernel, stride, pad, ceil_mode=ceil)
+    theirs = F.max_pool2d(nchw(x), kernel, stride, pad, ceil_mode=ceil)
+    assert ours.shape[1:3] == theirs.shape[2:4], (ours.shape, theirs.shape)
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("hw,out", [((65, 65), (6, 6)), ((65, 65), (1, 1)),
+                                    ((64, 64), (3, 3)), ((129, 257), (2, 5))])
+def test_adaptive_avg_pool_matches_torch(hw, out):
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, *hw, 4).astype(np.float32)
+    ours = adaptive_avg_pool_2d(jnp.asarray(x), out)
+    theirs = F.adaptive_avg_pool2d(nchw(x), out)
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs), rtol=1e-5, atol=1e-5)
+
+
+class _TorchABN(torch.nn.Module):
+    """Literal translation of the reference ABN semantics for the oracle:
+    gamma = |weight| + eps (reference: libs/src/bn.cu:153), then activation."""
+
+    def __init__(self, c, eps=1e-5, momentum=0.1, activation="none", slope=0.01):
+        super().__init__()
+        self.weight = torch.nn.Parameter(torch.randn(c))
+        self.bias = torch.nn.Parameter(torch.randn(c))
+        self.register_buffer("running_mean", torch.zeros(c))
+        self.register_buffer("running_var", torch.ones(c))
+        self.eps, self.momentum, self.activation, self.slope = eps, momentum, activation, slope
+
+    def forward(self, x, training=True):
+        if training:
+            mean = x.mean(dim=(0, 2, 3))
+            var = x.var(dim=(0, 2, 3), unbiased=False)
+            n = x.numel() / x.shape[1]
+            with torch.no_grad():
+                self.running_mean.mul_(1 - self.momentum).add_(self.momentum * mean)
+                self.running_var.mul_(1 - self.momentum).add_(
+                    self.momentum * var * n / (n - 1)
+                )
+        else:
+            mean, var = self.running_mean, self.running_var
+        gamma = self.weight.abs() + self.eps
+        y = (x - mean[None, :, None, None]) / torch.sqrt(var[None, :, None, None] + self.eps)
+        y = y * gamma[None, :, None, None] + self.bias[None, :, None, None]
+        if self.activation == "leaky_relu":
+            y = F.leaky_relu(y, self.slope)
+        return y
+
+
+@pytest.mark.parametrize("activation", ["none", "leaky_relu"])
+def test_abn_train_matches_reference_semantics(activation):
+    rng = np.random.RandomState(3)
+    c = 6
+    x = rng.randn(4, 8, 8, c).astype(np.float32)
+    oracle = _TorchABN(c, activation=activation)
+    weight = oracle.weight.detach().numpy()
+    bias = oracle.bias.detach().numpy()
+
+    mod = ABN(activation=activation)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+    variables = {
+        "params": {"weight": jnp.asarray(weight), "bias": jnp.asarray(bias)},
+        "batch_stats": variables["batch_stats"],
+    }
+    y, new_state = mod.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+    y_t = oracle(nchw(x), training=True)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_t), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_state["batch_stats"]["mean"]),
+        oracle.running_mean.numpy(), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["batch_stats"]["var"]),
+        oracle.running_var.numpy(), rtol=1e-5, atol=1e-6,
+    )
+
+    # eval mode uses the running statistics
+    y_eval = mod.apply(
+        {"params": variables["params"], "batch_stats": new_state["batch_stats"]},
+        jnp.asarray(x), use_running_average=True,
+    )
+    y_eval_t = oracle(nchw(x), training=False)
+    np.testing.assert_allclose(np.asarray(y_eval), to_nhwc(y_eval_t), rtol=1e-4, atol=1e-4)
+
+
+def test_plain_batchnorm_matches_torch():
+    rng = np.random.RandomState(4)
+    c = 19
+    x = rng.randn(2, 16, 16, c).astype(np.float32)
+    torch_bn = torch.nn.BatchNorm2d(c)
+    torch_bn.weight.data = torch.randn(c)
+    torch_bn.bias.data = torch.randn(c)
+    torch_bn.train()
+    y_t = torch_bn(nchw(x))
+
+    mod = BatchNorm2d()
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+    variables = {
+        "params": {
+            "weight": jnp.asarray(torch_bn.weight.detach().numpy()),
+            "bias": jnp.asarray(torch_bn.bias.detach().numpy()),
+        },
+        "batch_stats": variables["batch_stats"],
+    }
+    y, new_state = mod.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_t), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_state["batch_stats"]["var"]),
+        torch_bn.running_var.detach().numpy(), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_sync_bn_matches_global_batch():
+    """Per-shard pmean statistics == full-batch statistics (the invariant the
+    reference's InPlaceABNSync queue protocol existed to preserve)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    rng = np.random.RandomState(5)
+    c = 4
+    x = rng.randn(16, 4, 4, c).astype(np.float32)
+
+    mod_sync = ABN(activation="leaky_relu", axis_name="data")
+    mod_ref = ABN(activation="leaky_relu")
+    variables = mod_ref.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+
+    y_ref, state_ref = mod_ref.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+
+    def per_shard(xs):
+        y, st = mod_sync.apply(
+            variables, xs, use_running_average=False, mutable=["batch_stats"]
+        )
+        return y, st["batch_stats"]["mean"], st["batch_stats"]["var"]
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=P("data"), out_specs=(P("data"), P(), P()),
+        check_rep=False,
+    )
+    y_sync, mean_sync, var_sync = sharded(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_sync), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mean_sync), np.asarray(state_ref["batch_stats"]["mean"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_sync), np.asarray(state_ref["batch_stats"]["var"]),
+        rtol=1e-3, atol=1e-5,
+    )
