@@ -1,0 +1,97 @@
+"""Benchmark: full Pi+Pa+Ho KD train-step throughput on one TPU chip.
+
+Measures the flagship recipe — PSPNet-R101 teacher forward + R18 student
+fwd/bwd with DSN+Pi+Pa+Ho losses + SAGAN-D step with WGAN-GP — at the
+reference's training configuration (batch 8, 512² crops,
+run_train_val.sh:8-16), on synthetic data (device-resident, so the number is
+pure train-step throughput).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...}
+
+Baseline: BASELINE.json carries no published throughput (reference hardware
+undocumented). We use an estimate of the PyTorch reference recipe re-run on
+one A100: ~22 img/s (R101 no-grad fwd ≈ 0.53 TF/img + R18 train ≈ 3×0.12
+TF/img + 3×D fwd/bwd + GP double-backward at f32/TF32, data-loader bound).
+vs_baseline = value / 22.0. The driver's north star is vs_baseline ≥ 2.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMG_PER_SEC = 22.0
+
+
+def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
+         steps: int = 10, compute_dtype: str = "bfloat16") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from structure_knowledge_distillation_tpu.config import TrainConfig
+    from structure_knowledge_distillation_tpu.models import Discriminator, ResPSPNet
+    from structure_knowledge_distillation_tpu.training import (
+        create_train_state,
+        make_sgd,
+        make_train_step,
+    )
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    cfg = TrainConfig(
+        classes_num=19, batch_size=batch_size,
+        input_size=(image_size, image_size), num_steps=40000,
+        pi=True, pa=True, ho=True, adv_loss_type="wgan-gp",
+        imsize_for_adv=65, compute_dtype=compute_dtype,
+    )
+    teacher = ResPSPNet(block="bottleneck", layers=(3, 4, 23, 3), num_classes=19, dtype=dtype)
+    student = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19, dtype=dtype)
+    disc = Discriminator(preprocess_mode=1, image_size=65, conv_dim=64, dtype=dtype)
+
+    key = jax.random.PRNGKey(0)
+    images = jax.random.normal(key, (batch_size, image_size, image_size, 3), jnp.float32)
+    labels = jax.random.randint(key, (batch_size, image_size, image_size), 0, 19)
+
+    def zeros_like_shapes(tree):
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+    # Parameter content doesn't affect throughput; avoid a huge host-side init.
+    t_shapes = jax.eval_shape(lambda: teacher.init(key, images[:1], train=False))
+    t_vars = zeros_like_shapes(t_shapes)
+    t_vars["batch_stats"] = jax.tree.map(jnp.ones_like, t_vars["batch_stats"])
+    t_vars["params"] = jax.tree.map(
+        lambda x: x + 0.01 if x.ndim == 4 else x, t_vars["params"])
+    s_vars = student.init(key, images[:1], train=False)
+    logits_hw = 65 if image_size == 512 else image_size // 8 + 1
+    d_vars = disc.init(key, jnp.zeros((1, logits_hw, logits_hw, 19)), train=False)
+
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    state = create_train_state(key, t_vars, s_vars, d_vars, g_tx, d_tx)
+
+    step = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx),
+                   donate_argnums=(0,))
+
+    for _ in range(warmup):
+        state, metrics = step(state, images, labels)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, images, labels)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * steps / dt
+    n_chips = max(len(jax.devices()), 1)
+    per_chip = imgs_per_sec / n_chips
+    return {
+        "metric": "cityscapes_512_kd_train_images_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC, 3),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(main()))

@@ -1,0 +1,135 @@
+"""Training entry point — counterpart of reference train_and_eval.py.
+
+    python -m structure_knowledge_distillation_tpu.cli.train \
+        --data-dir ../cityscapes --batch-size 8 --num-steps 40000 \
+        --weight-decay 5e-4 --pi true --pa true --ho true \
+        --lambda-pa 0.5 --pool-scale 0.5 --lambda-pi 10.0 --lambda-d 0.1
+
+With --data-set synthetic no files are needed (smoke/benchmark runs).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+
+from structure_knowledge_distillation_tpu.config import TrainConfig
+from structure_knowledge_distillation_tpu.data import (
+    CityscapesDataset,
+    SyntheticSegDataset,
+    batch_iterator,
+    device_prefetch,
+)
+from structure_knowledge_distillation_tpu.training import checkpoint as ckpt_io
+from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+from structure_knowledge_distillation_tpu.utils import log_init
+
+log = logging.getLogger(__name__)
+
+
+def build_datasets(cfg: TrainConfig):
+    if cfg.data_set == "synthetic":
+        train = SyntheticSegDataset(
+            length=cfg.num_steps * cfg.batch_size, crop_size=cfg.input_size,
+            num_classes=cfg.classes_num, seed=cfg.seed,
+        )
+        val = SyntheticSegDataset(
+            length=2, crop_size=cfg.input_size, num_classes=cfg.classes_num,
+            seed=cfg.seed + 1,
+        )
+        return train, val
+    if cfg.data_set == "camvid":
+        from structure_knowledge_distillation_tpu.data import CamVidDataset
+
+        train = CamVidDataset(
+            cfg.data_dir, cfg.data_list, max_iters=cfg.num_steps * cfg.batch_size,
+            crop_size=cfg.input_size, scale=cfg.random_scale,
+            mirror=cfg.random_mirror, ignore_label=cfg.ignore_label, seed=cfg.seed,
+        )
+        val = CamVidDataset(
+            cfg.data_dir, cfg.val_data_list, crop_size=(360, 480),
+            scale=False, mirror=False, ignore_label=cfg.ignore_label,
+        )
+        return train, val
+    if cfg.data_set == "voc":
+        from structure_knowledge_distillation_tpu.data import VOCDataset
+
+        train = VOCDataset(
+            cfg.data_dir, cfg.data_list, max_iters=cfg.num_steps * cfg.batch_size,
+            crop_size=cfg.input_size, scale=cfg.random_scale,
+            mirror=cfg.random_mirror, ignore_label=cfg.ignore_label, seed=cfg.seed,
+        )
+        val = VOCDataset(
+            cfg.data_dir, cfg.val_data_list, crop_size=(505, 505),
+            scale=False, mirror=False, ignore_label=cfg.ignore_label,
+        )
+        return train, val
+    if cfg.data_set in ("cityscape", "cityscapes"):
+        train = CityscapesDataset(
+            cfg.data_dir, cfg.data_list,
+            max_iters=cfg.num_steps * cfg.batch_size,
+            crop_size=cfg.input_size, scale=cfg.random_scale,
+            mirror=cfg.random_mirror, ignore_label=cfg.ignore_label, seed=cfg.seed,
+        )
+        val = CityscapesDataset(
+            cfg.data_dir, cfg.val_data_list, crop_size=(1024, 2048),
+            scale=False, mirror=False, ignore_label=cfg.ignore_label,
+        )
+        return train, val
+    raise ValueError(f"unknown data_set {cfg.data_set!r}")
+
+
+def load_initial_variables(cfg: TrainConfig, trainer_cls=KDTrainer):
+    """Teacher (required for distillation) and optional student/D weights."""
+    teacher_vars = student_vars = d_vars = None
+    if cfg.T_ckpt_path:
+        import jax.numpy as jnp
+
+        from structure_knowledge_distillation_tpu.models import teacher_model
+
+        sd = ckpt_io.load_torch_state_dict(cfg.T_ckpt_path)
+        model = teacher_model(num_classes=cfg.classes_num)
+        dummy = jnp.zeros((1, *cfg.input_size, 3), jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), dummy, train=False)
+        teacher_vars = ckpt_io.import_torch_respspnet(sd, template)
+        log.info("loaded teacher from %s", cfg.T_ckpt_path)
+    if cfg.is_student_load_imgnet and cfg.student_pretrain_model_imgnet:
+        import jax.numpy as jnp
+
+        from structure_knowledge_distillation_tpu.models import student_model
+
+        sd = ckpt_io.load_torch_state_dict(cfg.student_pretrain_model_imgnet)
+        model = student_model(num_classes=cfg.classes_num)
+        dummy = jnp.zeros((1, *cfg.input_size, 3), jnp.float32)
+        template = model.init(jax.random.PRNGKey(1), dummy, train=False)
+        student_vars = ckpt_io.import_torch_respspnet(sd, template)
+        log.info("loaded student ImageNet init from %s",
+                 cfg.student_pretrain_model_imgnet)
+    return teacher_vars, student_vars, d_vars
+
+
+def main(argv=None):
+    cfg = TrainConfig.from_args(argv)
+    log_init(cfg.log_path, cfg.data_set)
+    for key, val in vars(cfg).items():
+        log.info("%s : %s", key, val)
+
+    train_ds, val_ds = build_datasets(cfg)
+    teacher_vars, student_vars, d_vars = load_initial_variables(cfg)
+    trainer = KDTrainer(cfg, teacher_vars, student_vars, d_vars)
+
+    train_iter = device_prefetch(
+        batch_iterator(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed),
+        sharding=trainer.batch_sharding,
+    )
+    val_loader = lambda: batch_iterator(val_ds, 1, shuffle=False)
+
+    eval_out_size = cfg.input_size if cfg.data_set == "synthetic" else (1024, 2048)
+    best = trainer.fit(train_iter, val_loader(), eval_out_size=eval_out_size)
+    log.info("training done; best mean_IU %.4f", best)
+    return best
+
+
+if __name__ == "__main__":
+    main()

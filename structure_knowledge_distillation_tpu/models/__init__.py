@@ -1,0 +1,26 @@
+from structure_knowledge_distillation_tpu.models.resnet_pspnet import (
+    BASIC,
+    BOTTLENECK,
+    BasicBlock,
+    Bottleneck,
+    PSPModule,
+    ResPSPNet,
+    student_model,
+    teacher_model,
+)
+from structure_knowledge_distillation_tpu.models.espnet import ESPNetC
+from structure_knowledge_distillation_tpu.models.sagan import Discriminator, SelfAttention
+
+__all__ = [
+    "BASIC",
+    "BOTTLENECK",
+    "BasicBlock",
+    "Bottleneck",
+    "PSPModule",
+    "ResPSPNet",
+    "student_model",
+    "teacher_model",
+    "Discriminator",
+    "SelfAttention",
+    "ESPNetC",
+]

@@ -90,6 +90,7 @@ class ABN(nn.Module):
     axis_name: Optional[str] = None
     use_running_average: Optional[bool] = None
     param_dtype: Any = jnp.float32
+    fused: bool = False  # use the Pallas kernels in pallas_bn.py
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None) -> jnp.ndarray:
@@ -109,6 +110,28 @@ class ABN(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
+
+        if self.fused and self.affine:
+            from structure_knowledge_distillation_tpu.ops import pallas_bn
+
+            if use_running_average:
+                return pallas_bn.abn_fused_eval(
+                    x, weight, bias, ra_mean.value, ra_var.value, self.eps,
+                    self.activation, self.slope, self.abs_gamma,
+                )
+            z, mean, var = pallas_bn.abn_fused_train(
+                x, weight, bias, self.eps, self.activation, self.slope,
+                self.abs_gamma, self.axis_name,
+            )
+            if not self.is_initializing():
+                n = x.size // features
+                if self.axis_name is not None:
+                    n *= jax.lax.psum(1, axis_name=self.axis_name)
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * (var * bessel)
+            return z
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

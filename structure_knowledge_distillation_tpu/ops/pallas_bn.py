@@ -1,0 +1,276 @@
+"""Pallas fused batch-norm + activation kernels (fwd + custom VJP).
+
+TPU-native counterpart of the reference's CUDA extension (reference
+libs/src/bn.cu + libs/src/lib_cffi.cpp), mirroring its kernel split:
+mean/var reduction → fused normalize+affine+activation forward →
+(edz, eydz) gradient reductions → fused backward. Numeric conventions match
+the CUDA kernels: gamma = |weight| + eps (bn.cu:153), dweight sign-corrected
+(bn.cu:205-215), activation inverted from the *saved output* so the input
+never needs to be kept (the memory trick that motivated "in-place" ABN;
+bn.cu:302-377, functions.py:226).
+
+The batch statistics are computed with plain XLA reductions (optionally
+pmean'd over a mesh axis for sync-BN) — on TPU a per-channel mean is a
+single fused reduction and needs no hand-written kernel. The elementwise
+stages run as Pallas kernels over (rows, channels)-tiled views.
+
+`abn_fused_train` carries a custom VJP whose backward reproduces
+reference libs/functions.py:231-298:
+    dx = (dz − edz − y·eydz) · γ / σ        (training statistics)
+    dweight = (Σ dz·y) · sign(weight)·?      — see _dgamma note
+    dbias  = Σ dz
+
+This path is opt-in (`ABN(fused=True)` / abn_fused_train directly): the
+pure-XLA path in batch_norm.py stays the default because XLA fuses the same
+elementwise chain into neighbouring ops; benchmarks decide per-platform.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["abn_fused_train", "abn_fused_eval"]
+
+
+def _act(z, activation: str, slope: float):
+    if activation == "none":
+        return z
+    if activation == "leaky_relu":
+        return jnp.where(z >= 0, z, z * slope)
+    if activation == "elu":
+        return jnp.where(z >= 0, z, jnp.expm1(z))
+    raise ValueError(activation)
+
+
+def _row_block(m: int) -> int:
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if m % cand == 0:
+            return cand
+    return m
+
+
+def _as2d(x: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
+    shape = x.shape
+    return x.reshape(-1, shape[-1]), shape
+
+
+# ----------------------------------------------------------------- forward
+def _fwd_kernel(x_ref, scale_ref, shift_ref, z_ref, *, activation, slope):
+    x = x_ref[:].astype(jnp.float32)
+    z = x * scale_ref[:] + shift_ref[:]
+    z_ref[:] = _act(z, activation, slope).astype(z_ref.dtype)
+
+
+def _fwd_pallas(x2, scale, shift, activation: str, slope: float, interpret: bool):
+    m, c = x2.shape
+    bm = _row_block(m)
+    kernel = functools.partial(_fwd_kernel, activation=activation, slope=slope)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), x2.dtype),
+        interpret=interpret,
+    )(x2, scale.reshape(1, c), shift.reshape(1, c))
+
+
+# ---------------------------------------------------- backward reductions
+def _edz_eydz_kernel(z_ref, dz_ref, gamma_ref, beta_ref, edz_ref, eydz_ref,
+                     *, activation, slope):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        edz_ref[:] = jnp.zeros_like(edz_ref)
+        eydz_ref[:] = jnp.zeros_like(eydz_ref)
+
+    z_out = z_ref[:].astype(jnp.float32)
+    g = dz_ref[:].astype(jnp.float32)
+    # invert activation from the saved output; scale incoming grad by act'
+    if activation == "leaky_relu":
+        pre = jnp.where(z_out >= 0, z_out, z_out / slope)
+        g = jnp.where(z_out >= 0, g, g * slope)
+    elif activation == "elu":
+        pre = jnp.where(z_out >= 0, z_out, jnp.log1p(z_out))
+        g = jnp.where(z_out >= 0, g, g * (z_out + 1.0))
+    else:
+        pre = z_out
+    y = (pre - beta_ref[:]) / gamma_ref[:]
+    edz_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+    eydz_ref[:] += jnp.sum(g * y, axis=0, keepdims=True)
+
+
+def _edz_eydz_pallas(z2, dz2, gamma, beta, activation, slope, interpret):
+    m, c = z2.shape
+    bm = _row_block(m)
+    kernel = functools.partial(_edz_eydz_kernel, activation=activation, slope=slope)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(z2, dz2, gamma.reshape(1, c), beta.reshape(1, c))
+
+
+# ------------------------------------------------------------- backward dx
+def _bwd_kernel(z_ref, dz_ref, gamma_ref, beta_ref, coef_ref, edz_ref, eydz_ref,
+                dx_ref, *, activation, slope, training):
+    z_out = z_ref[:].astype(jnp.float32)
+    g = dz_ref[:].astype(jnp.float32)
+    if activation == "leaky_relu":
+        pre = jnp.where(z_out >= 0, z_out, z_out / slope)
+        g = jnp.where(z_out >= 0, g, g * slope)
+    elif activation == "elu":
+        pre = jnp.where(z_out >= 0, z_out, jnp.log1p(z_out))
+        g = jnp.where(z_out >= 0, g, g * (z_out + 1.0))
+    else:
+        pre = z_out
+    if training:
+        y = (pre - beta_ref[:]) / gamma_ref[:]
+        dx = (g - edz_ref[:] - y * eydz_ref[:]) * coef_ref[:]
+    else:
+        dx = g * coef_ref[:]
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_pallas(z2, dz2, gamma, beta, coef, edz, eydz, activation, slope,
+                training, interpret):
+    m, c = z2.shape
+    bm = _row_block(m)
+    kernel = functools.partial(_bwd_kernel, activation=activation, slope=slope,
+                               training=training)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), dz2.dtype),
+        interpret=interpret,
+    )(z2, dz2, gamma.reshape(1, c), beta.reshape(1, c), coef.reshape(1, c),
+      edz.reshape(1, c), eydz.reshape(1, c))
+
+
+# ------------------------------------------------------------- public ops
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def abn_fused_train(x, weight, bias, eps: float = 1e-5,
+                    activation: str = "leaky_relu", slope: float = 0.01,
+                    abs_gamma: bool = True, axis_name: Optional[str] = None):
+    """Fused train-mode ABN: returns (activated output, batch mean, batch var).
+
+    Statistics are biased (normalization) and synced over `axis_name` when
+    given; the running-stat (Bessel) update is the caller's job, as in
+    reference libs/functions.py:207-209.
+    """
+    z, mean, var, _ = _fwd_impl(x, weight, bias, eps, activation, slope,
+                                abs_gamma, axis_name)
+    return z, mean, var
+
+
+def _stats(x2, axis_name):
+    mean = jnp.mean(x2.astype(jnp.float32), axis=0)
+    mean_sq = jnp.mean(jnp.square(x2.astype(jnp.float32)), axis=0)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    return mean, var
+
+
+def _fwd_impl(x, weight, bias, eps, activation, slope, abs_gamma, axis_name):
+    x2, shape = _as2d(x)
+    mean, var = _stats(x2, axis_name)
+    inv_std = jax.lax.rsqrt(var + eps)
+    gamma = (jnp.abs(weight) + eps if abs_gamma else weight).astype(jnp.float32)
+    scale = gamma * inv_std
+    shift = bias.astype(jnp.float32) - mean * scale
+    z2 = _fwd_pallas(x2, scale, shift, activation, slope, _use_interpret())
+    return z2.reshape(shape), mean, var, (z2, mean, var)
+
+
+def _abn_fwd(x, weight, bias, eps, activation, slope, abs_gamma, axis_name):
+    z, mean, var, (z2, _, _) = _fwd_impl(x, weight, bias, eps, activation,
+                                         slope, abs_gamma, axis_name)
+    n_local = z2.shape[0]
+    residuals = (z2, mean, var, weight, bias, x.shape, n_local)
+    return (z, mean, var), residuals
+
+
+def _abn_bwd(eps, activation, slope, abs_gamma, axis_name, residuals, cts):
+    gz, _, _ = cts  # cotangents for mean/var outputs are ignored (running
+    # statistics are buffers in the reference; grads never flow to them).
+    z2, mean, var, weight, bias, shape, n_local = residuals
+    dz2, _ = _as2d(gz)
+    gamma = (jnp.abs(weight) + eps if abs_gamma else weight).astype(jnp.float32)
+    inv_std = jax.lax.rsqrt(var + eps)
+
+    edz_sum, eydz_sum = _edz_eydz_pallas(
+        z2, dz2, gamma, bias.astype(jnp.float32), activation, slope,
+        _use_interpret())
+    edz_sum = edz_sum[0]
+    eydz_sum = eydz_sum[0]
+    n = jnp.float32(n_local)
+    if axis_name is not None:
+        edz_sum = jax.lax.psum(edz_sum, axis_name)
+        eydz_sum = jax.lax.psum(eydz_sum, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+    edz = edz_sum / n
+    eydz = eydz_sum / n
+
+    coef = gamma * inv_std
+    dx2 = _bwd_pallas(z2, dz2, gamma, bias.astype(jnp.float32), coef,
+                      edz, eydz, activation, slope, True, _use_interpret())
+    # param grads (reference bn.cu:205-218): dgamma = Σdz·y, sign-corrected
+    # for gamma=|w|+eps; dbias = Σdz. Sums are global under sync.
+    dgamma = eydz_sum
+    dweight = dgamma * jnp.sign(weight) if abs_gamma else dgamma
+    dbias = edz_sum
+    return (dx2.reshape(shape), dweight.astype(weight.dtype),
+            dbias.astype(bias.dtype))
+
+
+abn_fused_train.defvjp(_abn_fwd, _abn_bwd)
+
+
+def abn_fused_eval(x, weight, bias, mean, var, eps: float = 1e-5,
+                   activation: str = "leaky_relu", slope: float = 0.01,
+                   abs_gamma: bool = True):
+    """Fused eval-mode ABN with frozen statistics (differentiable wrt x via
+    the same kernels; used by the teacher which is under stop_gradient)."""
+    x2, shape = _as2d(x)
+    inv_std = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    gamma = (jnp.abs(weight) + eps if abs_gamma else weight).astype(jnp.float32)
+    scale = gamma * inv_std
+    shift = bias.astype(jnp.float32) - mean.astype(jnp.float32) * scale
+    z2 = _fwd_pallas(x2, scale, shift, activation, slope, _use_interpret())
+    return z2.reshape(shape)

@@ -1,0 +1,15 @@
+from structure_knowledge_distillation_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_state,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "param_shardings",
+    "replicated",
+    "shard_state",
+]

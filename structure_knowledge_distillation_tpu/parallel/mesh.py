@@ -1,0 +1,98 @@
+"""Device mesh and sharding rules.
+
+The reference's entire parallel layer (utils/parallel.py DataParallelModel/
+my_DataParallelCriterion + torch.cuda.comm, and the queue-based sync BN in
+libs/functions.py) collapses into mesh + sharding annotations here:
+
+  * `data` axis — batch sharding. Jitting the train step with the batch
+    sharded on `data` makes every full-batch reduction (BN statistics, loss
+    means, gradient sums) an XLA collective over ICI. Loss-criterion
+    parallelism and sync-BN need no code.
+  * `model` axis — optional tensor parallelism for the wide teacher: conv
+    kernels with many output channels are sharded on their O dim; XLA
+    partitions the convs and inserts the boundary collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "param_shardings", "shard_state"]
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = max(len(devices) // num_model, 1)
+    need = num_data * num_model
+    if need > len(devices):
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(num_data, num_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path: tuple, leaf, num_model: int, min_channels: int) -> P:
+    """Tensor-parallel rule: shard wide conv kernels (HWIO) on O over `model`."""
+    if num_model <= 1:
+        return P()
+    if getattr(leaf, "ndim", 0) == 4:
+        out_ch = leaf.shape[-1]
+        if out_ch >= min_channels and out_ch % num_model == 0:
+            return P(None, None, None, "model")
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh, min_channels: int = 256) -> Any:
+    """A NamedSharding tree for a param pytree under the TP rule above."""
+    num_model = mesh.shape.get("model", 1)
+
+    def spec(path, leaf):
+        return NamedSharding(mesh, _param_spec(path, leaf, num_model, min_channels))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_state(state: Any, mesh: Mesh, tp_teacher: bool = True) -> Any:
+    """Place a KDTrainState on the mesh: params replicated (or TP for the
+    teacher's wide convs), optimizer state following its params."""
+    rep = replicated(mesh)
+
+    def place_rep(tree):
+        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+    num_model = mesh.shape.get("model", 1)
+    if tp_teacher and num_model > 1:
+        t_sh = param_shardings(state.teacher_params, mesh)
+        teacher_params = jax.tree.map(jax.device_put, state.teacher_params, t_sh)
+    else:
+        teacher_params = place_rep(state.teacher_params)
+
+    return state.replace(
+        step=jax.device_put(state.step, rep),
+        rng=jax.device_put(state.rng, rep),
+        teacher_params=teacher_params,
+        teacher_stats=place_rep(state.teacher_stats),
+        student_params=place_rep(state.student_params),
+        student_stats=place_rep(state.student_stats),
+        d_params=place_rep(state.d_params),
+        d_stats=place_rep(state.d_stats),
+        d_spectral=place_rep(state.d_spectral),
+        g_opt=place_rep(state.g_opt),
+        d_opt=place_rep(state.d_opt),
+    )

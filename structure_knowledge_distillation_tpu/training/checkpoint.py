@@ -1,0 +1,262 @@
+"""Checkpoint save/restore + PyTorch checkpoint import/export.
+
+Native checkpoints are msgpack-serialized full train states (flax
+serialization) with a JSON sidecar (step / mean_IU / best), replacing the
+reference's bare `state_dict` snapshots (reference networks/kd_model.py:192,
+utils/utils.py:153-157).
+
+The torch importers perform the reference's key surgery (reference
+utils/utils.py:73-151): released-teacher `head.0.*`→`pspmodule.*`,
+`head.1.*`→`head.*` remap, `module.` prefix strip, `fc` drop — plus the
+layout conversion this framework needs: OIHW conv weights → HWIO, BN
+running_mean/running_var → batch_stats mean/var. Import is by
+key-intersection with shape check (the reference student loaded ImageNet
+weights the same way, utils/utils.py:98-103).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization, traverse_util
+
+__all__ = [
+    "save_state",
+    "restore_state",
+    "map_torch_key",
+    "import_torch_respspnet",
+    "export_torch_respspnet",
+    "load_torch_state_dict",
+]
+
+log = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------- native
+def save_state(path: str, state, **meta) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path + ".msgpack", "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    with open(path + ".json", "w") as f:
+        json.dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v
+                   for k, v in meta.items()}, f)
+    return path + ".msgpack"
+
+
+def restore_state(path: str, state_template):
+    if not path.endswith(".msgpack"):
+        path = path + ".msgpack"
+    with open(path, "rb") as f:
+        return serialization.from_bytes(state_template, f.read())
+
+
+def load_meta(path: str) -> dict:
+    if path.endswith(".msgpack"):
+        path = path[: -len(".msgpack")]
+    with open(path + ".json") as f:
+        return json.load(f)
+
+
+# ------------------------------------------------------------------ torch i/o
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth into numpy (torch CPU is available in this image)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def _released_teacher_remap(key: str) -> str:
+    """reference utils/utils.py:78-87: head.0.* -> pspmodule.*, head.1.* -> head.*"""
+    if key.startswith("head.0."):
+        return "pspmodule." + key[len("head.0."):]
+    if key.startswith("head.1."):
+        return "head." + key[len("head.1."):]
+    return key
+
+
+_BN_PARAM = {"weight": ("params", "weight"), "bias": ("params", "bias")}
+_BN_STAT = {"running_mean": ("batch_stats", "mean"), "running_var": ("batch_stats", "var")}
+
+
+def map_torch_key(key: str) -> Optional[Tuple[str, Tuple[str, ...], bool]]:
+    """torch state_dict key -> (collection, flax path, transpose_conv).
+
+    Returns None for keys with no counterpart (fc, num_batches_tracked, ...).
+    """
+    if key.startswith("module."):
+        key = key[len("module."):]
+    key = _released_teacher_remap(key)
+    parts = key.split(".")
+    if parts[0] == "fc" or parts[-1] == "num_batches_tracked":
+        return None
+
+    def bn(prefix: Tuple[str, ...], leaf: str):
+        if leaf in _BN_PARAM:
+            coll, name = _BN_PARAM[leaf]
+            return (coll, prefix + (name,), False)
+        if leaf in _BN_STAT:
+            coll, name = _BN_STAT[leaf]
+            return (coll, prefix + (name,), False)
+        return None
+
+    # stem convs / bns
+    if parts[0] in ("conv1", "conv2", "conv3") and len(parts) == 2:
+        return ("params", (parts[0], "kernel"), True)
+    if parts[0] in ("bn1", "bn2", "bn3") and len(parts) == 2:
+        return bn((parts[0],), parts[1])
+
+    # residual layers: layerL.i.<rest>
+    if parts[0].startswith("layer") and len(parts) >= 3:
+        block = f"{parts[0]}_{parts[1]}"
+        rest = parts[2:]
+        if rest[0].startswith("conv") and rest[1] == "weight":
+            return ("params", (block, rest[0], "kernel"), True)
+        if rest[0].startswith("bn"):
+            return bn((block, rest[0]), rest[1])
+        if rest[0] == "downsample":
+            if rest[1] == "0" and rest[2] == "weight":
+                return ("params", (block, "downsample_conv", "kernel"), True)
+            if rest[1] == "1":
+                return bn((block, "downsample_bn"), rest[2])
+        return None
+
+    # PSP module
+    if parts[0] == "pspmodule":
+        if parts[1] == "stages":
+            i = parts[2]
+            if parts[3] == "1" and parts[4] == "weight":
+                return ("params", ("pspmodule", f"stage{i}_conv", "kernel"), True)
+            if parts[3] == "2":
+                return bn(("pspmodule", f"stage{i}_bn"), parts[4])
+        if parts[1] == "bottleneck":
+            if parts[2] == "0" and parts[3] == "weight":
+                return ("params", ("pspmodule", "bottleneck_conv", "kernel"), True)
+            if parts[2] == "1":
+                return bn(("pspmodule", "bottleneck_bn"), parts[3])
+        return None
+
+    # classification head (1x1 conv with bias)
+    if parts[0] == "head" and len(parts) == 2:
+        if parts[1] == "weight":
+            return ("params", ("head", "kernel"), True)
+        if parts[1] == "bias":
+            return ("params", ("head", "bias"), False)
+
+    # DSN aux head: dsn.0 conv(+bias), dsn.1 ABN, dsn.3 conv(+bias)
+    if parts[0] == "dsn":
+        if parts[1] == "0":
+            return ("params", ("dsn_conv1", "kernel" if parts[2] == "weight" else "bias"),
+                    parts[2] == "weight")
+        if parts[1] == "1":
+            return bn(("dsn_bn",), parts[2])
+        if parts[1] == "3":
+            return ("params", ("dsn_conv2", "kernel" if parts[2] == "weight" else "bias"),
+                    parts[2] == "weight")
+    return None
+
+
+def import_torch_respspnet(state_dict: Dict[str, np.ndarray], variables: dict) -> dict:
+    """Merge a torch ResPSPNet state_dict into flax variables (params +
+    batch_stats). Unknown keys are skipped with a log line; shape mismatches
+    are skipped (intersection semantics, reference utils/utils.py:101)."""
+    flat = {
+        coll: traverse_util.flatten_dict(variables.get(coll, {}))
+        for coll in ("params", "batch_stats")
+    }
+    loaded, skipped = 0, []
+    for key, value in state_dict.items():
+        mapped = map_torch_key(key)
+        if mapped is None:
+            skipped.append(key)
+            continue
+        coll, path, transpose = mapped
+        if path not in flat[coll]:
+            skipped.append(key)
+            continue
+        v = np.asarray(value)
+        if transpose and v.ndim == 4:
+            v = np.transpose(v, (2, 3, 1, 0))  # OIHW -> HWIO
+        target = flat[coll][path]
+        if tuple(v.shape) != tuple(target.shape):
+            skipped.append(f"{key} (shape {v.shape} vs {tuple(target.shape)})")
+            continue
+        flat[coll][path] = v.astype(np.asarray(target).dtype)
+        loaded += 1
+    if skipped:
+        log.info("torch import: %d loaded, %d skipped (%s%s)", loaded, len(skipped),
+                 ", ".join(skipped[:5]), "…" if len(skipped) > 5 else "")
+    out = dict(variables)
+    for coll in ("params", "batch_stats"):
+        if variables.get(coll):
+            out[coll] = traverse_util.unflatten_dict(flat[coll])
+    return out
+
+
+def export_torch_respspnet(variables: dict) -> Dict[str, np.ndarray]:
+    """Inverse of `import_torch_respspnet` (for interop + roundtrip tests)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put(torch_key: str):
+        mapped = map_torch_key(torch_key)
+        assert mapped is not None
+        coll, path, transpose = mapped
+        tree = traverse_util.flatten_dict(variables.get(coll, {}))
+        if path not in tree:
+            return
+        v = np.asarray(tree[path])
+        if transpose and v.ndim == 4:
+            v = np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+        out[torch_key] = v
+
+    params_flat = traverse_util.flatten_dict(variables["params"])
+    stats_flat = traverse_util.flatten_dict(variables.get("batch_stats", {}))
+
+    # Build torch keys by inverting our known name schema.
+    for path in list(params_flat) + list(stats_flat):
+        mod = path[:-1]
+        leaf = path[-1]
+        torch_mod = None
+        if len(mod) == 1 and (mod[0].startswith("conv") or mod[0].startswith("bn")) \
+                and "_" not in mod[0]:
+            torch_mod = mod[0]
+        elif len(mod) == 1 and mod[0] == "head":
+            torch_mod = "head"
+        elif mod and mod[0].startswith("layer") and "_" in mod[0]:
+            layer, idx = mod[0].split("_")
+            sub = mod[1]
+            if sub == "downsample_conv":
+                torch_mod = f"{layer}.{idx}.downsample.0"
+            elif sub == "downsample_bn":
+                torch_mod = f"{layer}.{idx}.downsample.1"
+            else:
+                torch_mod = f"{layer}.{idx}.{sub}"
+        elif mod and mod[0] == "pspmodule":
+            sub = mod[1]
+            if sub.startswith("stage"):
+                i = sub[len("stage"):sub.index("_")]
+                torch_mod = f"pspmodule.stages.{i}." + ("1" if sub.endswith("conv") else "2")
+            elif sub == "bottleneck_conv":
+                torch_mod = "pspmodule.bottleneck.0"
+            elif sub == "bottleneck_bn":
+                torch_mod = "pspmodule.bottleneck.1"
+        elif mod and mod[0] == "dsn_conv1":
+            torch_mod = "dsn.0"
+        elif mod and mod[0] == "dsn_bn":
+            torch_mod = "dsn.1"
+        elif mod and mod[0] == "dsn_conv2":
+            torch_mod = "dsn.3"
+        if torch_mod is None:
+            continue
+        leaf_map = {"kernel": "weight", "weight": "weight", "bias": "bias",
+                    "mean": "running_mean", "var": "running_var"}
+        put(f"{torch_mod}.{leaf_map[leaf]}")
+    return out

@@ -1,0 +1,196 @@
+"""Evaluation: whole-image / sliding / multiscale prediction, mIoU, PNGs.
+
+Counterpart of reference networks/evaluate.py:
+  * predict_whole (reference :106-113): one forward, logits upsampled
+    (align-corners) to the output size — here the forward + upsample + argmax
+    compile into one jitted function,
+  * predict_multiscale (reference :115-134) with optional flip averaging,
+  * predict_sliding (reference :70-104): overlapping tiles (overlap ⅓) for
+    memory-bounded inference,
+  * confusion matrix via scatter-add (reference :136-154 used np.bincount),
+  * IU = tp / max(1, pos + res − tp), mean over classes (reference :200-206),
+  * palette PNGs and trainId→labelId remap for test-server submission
+    (reference :30-61, :187-191).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from math import ceil
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structure_knowledge_distillation_tpu.ops.resize import resize_bilinear_align_corners
+
+__all__ = [
+    "get_palette",
+    "confusion_matrix",
+    "iu_from_confusion",
+    "make_predictor",
+    "predict_sliding",
+    "predict_multiscale",
+    "evaluate_main",
+]
+
+
+def get_palette(num_cls: int) -> list:
+    """Standard PASCAL-style bit-interleaved palette (reference :40-61)."""
+    palette = [0] * (num_cls * 3)
+    for j in range(num_cls):
+        lab = j
+        i = 0
+        while lab:
+            palette[j * 3 + 0] |= ((lab >> 0) & 1) << (7 - i)
+            palette[j * 3 + 1] |= ((lab >> 1) & 1) << (7 - i)
+            palette[j * 3 + 2] |= ((lab >> 2) & 1) << (7 - i)
+            i += 1
+            lab >>= 3
+    return palette
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "ignore_label"))
+def confusion_matrix(
+    pred: jnp.ndarray, label: jnp.ndarray, num_classes: int, ignore_label: int = 255
+) -> jnp.ndarray:
+    """(C, C) counts with rows = ground truth, cols = prediction."""
+    label = label.astype(jnp.int32).ravel()
+    pred = pred.astype(jnp.int32).ravel()
+    mask = label != ignore_label
+    idx = jnp.where(mask, label, 0) * num_classes + pred
+    counts = jnp.zeros((num_classes * num_classes,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    counts = counts.at[idx].add(mask.astype(counts.dtype))
+    return counts.reshape(num_classes, num_classes)
+
+
+def iu_from_confusion(conf: np.ndarray) -> Tuple[float, np.ndarray]:
+    conf = np.asarray(conf, np.float64)
+    pos = conf.sum(1)
+    res = conf.sum(0)
+    tp = np.diag(conf)
+    iu = tp / np.maximum(1.0, pos + res - tp)
+    return float(iu.mean()), iu
+
+
+def make_predictor(model, out_size: Tuple[int, int]) -> Callable:
+    """Jitted whole-image forward: logits upsampled to out_size (f32)."""
+
+    @jax.jit
+    def predict(variables, image: jnp.ndarray) -> jnp.ndarray:
+        preds = model.apply(variables, image, train=False)
+        logits = preds[0] if isinstance(preds, (tuple, list)) else preds
+        return resize_bilinear_align_corners(logits.astype(jnp.float32), out_size)
+
+    return predict
+
+
+def predict_sliding(
+    predict_tile: Callable,
+    image: np.ndarray,
+    tile_size: Tuple[int, int],
+    num_classes: int,
+    overlap: float = 1.0 / 3.0,
+) -> np.ndarray:
+    """Overlapping-tile inference (reference :70-104). image: (1, H, W, 3)."""
+    _, h, w, _ = image.shape
+    th, tw = tile_size
+    stride = ceil(th * (1.0 - overlap))
+    rows = int(ceil(max(h - th, 0) / stride) + 1)
+    cols = int(ceil(max(w - tw, 0) / stride) + 1)
+    full = np.zeros((h, w, num_classes), np.float64)
+    cnt = np.zeros((h, w, 1), np.float64)
+    for r in range(rows):
+        for c in range(cols):
+            x1, y1 = int(c * stride), int(r * stride)
+            x2, y2 = min(x1 + tw, w), min(y1 + th, h)
+            x1, y1 = max(x2 - tw, 0), max(y2 - th, 0)
+            tile = image[:, y1:y2, x1:x2, :]
+            pad_h, pad_w = th - tile.shape[1], tw - tile.shape[2]
+            if pad_h or pad_w:
+                tile = np.pad(tile, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            logits = np.asarray(predict_tile(tile))[0]
+            full[y1:y2, x1:x2] += logits[: y2 - y1, : x2 - x1]
+            cnt[y1:y2, x1:x2] += 1
+    return full / cnt
+
+
+def predict_multiscale(
+    predict_whole: Callable,
+    image: np.ndarray,
+    scales: Iterable[float] = (1.0,),
+    flip: bool = False,
+) -> np.ndarray:
+    """Average logits over image scales, optional flip-average (reference :115-134)."""
+    from scipy import ndimage
+
+    total = None
+    scales = list(scales)
+    for scale in scales:
+        if scale == 1.0:
+            scaled = image
+        else:
+            scaled = ndimage.zoom(image, (1.0, scale, scale, 1.0), order=1, prefilter=False)
+        probs = np.asarray(predict_whole(scaled))[0]
+        if flip:
+            flipped = np.asarray(predict_whole(scaled[:, :, ::-1, :]))[0]
+            probs = 0.5 * (probs + flipped[:, ::-1, :])
+        total = probs if total is None else total + probs
+    return total / len(scales)
+
+
+def evaluate_main(
+    model,
+    variables,
+    loader: Iterable,
+    num_classes: int,
+    out_size: Tuple[int, int] = (1024, 2048),
+    eval_type: str = "val",
+    output_dir: Optional[str] = None,
+    whole: bool = True,
+    tile_size: Tuple[int, int] = (512, 512),
+    scales: Iterable[float] = (1.0,),
+    flip: bool = False,
+    ignore_label: int = 255,
+):
+    """Returns (mean_IU, IU_array) for 'val'; writes PNGs if output_dir set."""
+    predictor = make_predictor(model, out_size)
+    predict = lambda img: predictor(variables, jnp.asarray(img))
+
+    conf = np.zeros((num_classes, num_classes), np.float64)
+    for batch in loader:
+        if eval_type == "val":
+            image, label, size, name = batch
+        else:
+            image, size, name = batch
+            label = None
+        if whole:
+            logits = predict_multiscale(predict, np.asarray(image), scales, flip)
+        else:
+            logits = predict_sliding(predict, np.asarray(image), tile_size, num_classes)
+        seg_pred = np.argmax(logits, axis=2).astype(np.uint8)
+
+        if output_dir is not None:
+            from PIL import Image as PILImage
+
+            from structure_knowledge_distillation_tpu.data.cityscapes import trainid2id
+
+            os.makedirs(output_dir, exist_ok=True)
+            out = trainid2id(seg_pred) if eval_type == "test" else seg_pred
+            im = PILImage.fromarray(out)
+            im.putpalette(get_palette(256))
+            im.save(os.path.join(output_dir, f"{name[0]}.png"))
+
+        if eval_type == "val":
+            h, w = int(size[0][0]), int(size[0][1])
+            gt = np.asarray(label[0])[:h, :w]
+            conf += np.asarray(
+                confusion_matrix(jnp.asarray(seg_pred[:h, :w]), jnp.asarray(gt),
+                                 num_classes, ignore_label)
+            )
+
+    if eval_type == "val":
+        return iu_from_confusion(conf)
+    return None, None

@@ -1,0 +1,86 @@
+"""Train state and optimizers for the KD pipeline.
+
+One pytree carries everything the jitted step needs: frozen teacher variables,
+student params + BN statistics, discriminator params + BN statistics +
+spectral-norm power-iteration state, and both optax optimizer states. The
+reference's equivalents are the `NetModel` attributes and two torch SGD
+optimizers (reference networks/kd_model.py:53-95).
+
+Optimizer semantics match torch SGD with weight decay + momentum and the
+poly learning-rate schedule lr·(1−step/num_steps)^power (reference
+kd_model.py:110-117): decay is added to the gradient *before* the momentum
+buffer, update = −lr·buf.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["KDTrainState", "poly_schedule", "make_sgd", "create_train_state"]
+
+
+def poly_schedule(base_lr: float, num_steps: int, power: float) -> Callable:
+    def schedule(count):
+        # integer subtraction first: exact near the end of the schedule, where
+        # 1.0 - count/num_steps cancels catastrophically in f32
+        remaining = num_steps - jnp.minimum(count, num_steps)
+        frac = remaining.astype(jnp.float32) / num_steps
+        return base_lr * (frac ** power)
+
+    return schedule
+
+
+def make_sgd(base_lr: float, num_steps: int, power: float, momentum: float,
+             weight_decay: float) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate=poly_schedule(base_lr, num_steps, power),
+                  momentum=momentum),
+    )
+
+
+class KDTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    rng: jax.Array
+
+    teacher_params: Any
+    teacher_stats: Any
+
+    student_params: Any
+    student_stats: Any
+
+    d_params: Any
+    d_stats: Any
+    d_spectral: Any
+
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+
+
+def create_train_state(
+    rng: jax.Array,
+    teacher_vars: dict,
+    student_vars: dict,
+    d_vars: dict,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    last_step: int = 0,
+) -> KDTrainState:
+    return KDTrainState(
+        step=jnp.asarray(last_step, jnp.int32),
+        rng=rng,
+        teacher_params=teacher_vars.get("params", {}),
+        teacher_stats=teacher_vars.get("batch_stats", {}),
+        student_params=student_vars["params"],
+        student_stats=student_vars.get("batch_stats", {}),
+        d_params=d_vars.get("params", {}),
+        d_stats=d_vars.get("batch_stats", {}),
+        d_spectral=d_vars.get("spectral", {}),
+        g_opt=g_tx.init(student_vars["params"]),
+        d_opt=d_tx.init(d_vars.get("params", {})),
+    )

@@ -1,0 +1,177 @@
+"""The jitted KD train step — teacher fwd, 4-term G loss, D step with WGAN-GP.
+
+This is the TPU-native counterpart of `NetModel.optimize_parameters`
+(reference networks/kd_model.py:119-173). The whole step — teacher forward
+under stop_gradient, student forward/backward with the DSN + Pi + Pa + Ho
+losses, the G update, three discriminator applications, the WGAN gradient
+penalty (a nested `jax.grad`, replacing torch's
+autograd.grad(create_graph=True) double-backward), and the D update —
+compiles into ONE XLA program. Under a `Mesh` with the batch sharded on the
+`data` axis, every batch-norm statistic and gradient mean is automatically a
+cross-replica (ICI) reduction: the reference's DataParallel criteria
+(utils/parallel.py) and queue-based sync BN (libs/functions.py) have no code
+counterpart here at all.
+
+Fidelity notes (SURVEY.md §7 quirks catalog):
+  * D's spectral u/v advance once per D application, 4×/step with Ho on
+    (G-adv fwd, D(T), D(S), D(interp)); power iteration is input-independent,
+    so the 4th update after the GP call is replicated exactly.
+  * The D loss is λ_d·adv + λ_d·(λ_gp·gp) — λ_d multiplies both terms
+    (reference kd_model.py:158-161).
+  * The reference computes CE(teacher, labels) and discards it
+    (kd_model.py:129) — dead compute, not reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from structure_knowledge_distillation_tpu.losses import (
+    adv_loss_for_d,
+    adv_loss_for_g,
+    criterion_dsn,
+    criterion_ohem_dsn,
+    pairwise_affinity_loss,
+    pixel_wise_kl,
+)
+
+__all__ = ["make_train_step"]
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def make_train_step(
+    cfg,
+    teacher,
+    student,
+    discriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+) -> Callable:
+    """Builds the (jittable) train step for a TrainConfig and three modules."""
+
+    def train_step(state, images: jnp.ndarray, labels: jnp.ndarray) -> Tuple[Any, Metrics]:
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        drop_rng, gp_rng = jax.random.split(step_rng)
+
+        # --- Teacher forward: eval mode (running stats), frozen.
+        preds_t = teacher.apply(
+            {"params": state.teacher_params, "batch_stats": state.teacher_stats},
+            images, train=False,
+        )
+        logits_t = jax.lax.stop_gradient(preds_t[0])
+        feat_t = jax.lax.stop_gradient(preds_t[2])
+
+        # --- G (student) loss and update.
+        def g_loss_fn(s_params):
+            preds_s, s_mut = student.apply(
+                {"params": s_params, "batch_stats": state.student_stats},
+                images, train=True,
+                rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            if getattr(cfg, "ohem", False):
+                mc = criterion_ohem_dsn(preds_s, labels, cfg.ignore_label,
+                                        cfg.ohem_thresh, cfg.ohem_min_kept)
+            else:
+                mc = criterion_dsn(preds_s, labels, cfg.ignore_label)
+            loss = mc
+            metrics = {"mc_loss": mc}
+            if cfg.pi:
+                pi_l = pixel_wise_kl(preds_s[0], logits_t)
+                metrics["pi_loss"] = pi_l
+                loss = loss + cfg.lambda_pi * pi_l
+            if cfg.pa:
+                pa_l = pairwise_affinity_loss(preds_s[2], feat_t, cfg.pool_scale)
+                metrics["pa_loss"] = pa_l
+                loss = loss + cfg.lambda_pa * pa_l
+            d_mut = None
+            if cfg.ho:
+                (d_out, _, _), d_mut = discriminator.apply(
+                    {"params": state.d_params, "batch_stats": state.d_stats,
+                     "spectral": state.d_spectral},
+                    preds_s[0], train=True,
+                    mutable=["batch_stats", "spectral"],
+                )
+                adv_g = adv_loss_for_g(d_out, cfg.adv_loss_type)
+                metrics["adv_g_loss"] = adv_g
+                loss = loss + cfg.lambda_d * adv_g
+            return loss, (metrics, preds_s[0], s_mut, d_mut)
+
+        (g_loss, (metrics, logits_s, s_mut, d_mut)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.student_params)
+        metrics["g_loss"] = g_loss
+
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.student_params)
+        new_s_params = optax.apply_updates(state.student_params, g_updates)
+        new_s_stats = s_mut["batch_stats"]
+
+        if cfg.ho:
+            d_stats = jax.lax.stop_gradient(d_mut["batch_stats"])
+            d_spectral = jax.lax.stop_gradient(d_mut["spectral"])
+            logits_s_sg = jax.lax.stop_gradient(logits_s)
+
+            # --- D loss and update (reference discriminator_backward).
+            def d_loss_fn(d_params):
+                v1 = {"params": d_params, "batch_stats": d_stats, "spectral": d_spectral}
+                (out_t, _, _), m2 = discriminator.apply(
+                    v1, logits_t, train=True, mutable=["batch_stats", "spectral"]
+                )
+                v2 = {"params": d_params, **jax.lax.stop_gradient(m2)}
+                (out_s, _, _), m3 = discriminator.apply(
+                    v2, logits_s_sg, train=True, mutable=["batch_stats", "spectral"]
+                )
+                d_loss = cfg.lambda_d * adv_loss_for_d(out_s, out_t, cfg.adv_loss_type)
+                m_last = m3
+                if cfg.adv_loss_type == "wgan-gp":
+                    v3 = {"params": d_params, **jax.lax.stop_gradient(m3)}
+                    n = logits_t.shape[0]
+                    alpha = jax.random.uniform(gp_rng, (n, 1, 1, 1), jnp.float32)
+                    interp = alpha * logits_t + (1.0 - alpha) * logits_s_sg
+
+                    def d_apply_for_gp(x):
+                        (out, _, _), mut = discriminator.apply(
+                            v3, x, train=True, mutable=["batch_stats", "spectral"]
+                        )
+                        return jnp.sum(out.astype(jnp.float32)), mut
+
+                    _, gp_vjp, m4 = jax.vjp(d_apply_for_gp, interp, has_aux=True)
+                    (grad_x,) = gp_vjp(jnp.float32(1.0))
+                    grad_x = grad_x.reshape(n, -1)
+                    grad_norm = jnp.sqrt(jnp.sum(jnp.square(grad_x), axis=1))
+                    gp = cfg.lambda_gp * jnp.mean(jnp.square(grad_norm - 1.0))
+                    d_loss = d_loss + cfg.lambda_d * gp
+                    m_last = m4
+                return d_loss, jax.lax.stop_gradient(m_last)
+
+            (d_loss, d_mut_final), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.d_params
+            )
+            metrics["d_loss"] = d_loss
+            d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+            new_d_params = optax.apply_updates(state.d_params, d_updates)
+            new_d_stats = d_mut_final["batch_stats"]
+            new_d_spectral = d_mut_final["spectral"]
+        else:
+            metrics["d_loss"] = jnp.float32(0.0)
+            new_d_params, new_d_opt = state.d_params, state.d_opt
+            new_d_stats, new_d_spectral = state.d_stats, state.d_spectral
+
+        new_state = state.replace(
+            step=state.step + 1,
+            student_params=new_s_params,
+            student_stats=new_s_stats,
+            d_params=new_d_params,
+            d_stats=new_d_stats,
+            d_spectral=new_d_spectral,
+            g_opt=new_g_opt,
+            d_opt=new_d_opt,
+        )
+        return new_state, metrics
+
+    return train_step

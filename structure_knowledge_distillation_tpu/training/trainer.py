@@ -1,0 +1,165 @@
+"""KDTrainer — builds models/optimizers/mesh, owns the jitted step and eval.
+
+Counterpart of reference networks/kd_model.py `NetModel` + the loop in
+train_and_eval.py:20-30, re-shaped for TPU: one jitted train step (donated
+state), batch sharded over the `data` mesh axis, host→device double-buffered
+prefetch, and the reference's eval/checkpoint cadence.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structure_knowledge_distillation_tpu.config import TrainConfig
+from structure_knowledge_distillation_tpu.models import Discriminator, ResPSPNet
+from structure_knowledge_distillation_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    shard_state,
+)
+from structure_knowledge_distillation_tpu.training.evaluate import evaluate_main
+from structure_knowledge_distillation_tpu.training.train_state import (
+    create_train_state,
+    make_sgd,
+    poly_schedule,
+)
+from structure_knowledge_distillation_tpu.training.train_step import make_train_step
+
+__all__ = ["KDTrainer"]
+
+log = logging.getLogger(__name__)
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": None}.get(name, None)
+
+
+class KDTrainer:
+    def __init__(self, cfg: TrainConfig, teacher_vars=None, student_vars=None,
+                 d_vars=None):
+        self.cfg = cfg
+        dtype = _dtype_of(cfg.compute_dtype)
+
+        self.teacher = ResPSPNet(block="bottleneck", layers=(3, 4, 23, 3),
+                                 num_classes=cfg.classes_num, dtype=dtype)
+        if getattr(cfg, "student_arch", "resnet18") == "espnet":
+            from structure_knowledge_distillation_tpu.models import ESPNetC
+
+            self.student = ESPNetC(num_classes=cfg.classes_num, dtype=dtype)
+        else:
+            self.student = ResPSPNet(block="basic", layers=(2, 2, 2, 2),
+                                     num_classes=cfg.classes_num, dtype=dtype)
+        self.discriminator = Discriminator(
+            preprocess_mode=cfg.preprocess_gan_mode,
+            image_size=cfg.imsize_for_adv,
+            conv_dim=cfg.adv_conv_dim,
+            dtype=dtype,
+        )
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, kt, ks, kd = jax.random.split(rng, 4)
+        h, w = cfg.input_size
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        if teacher_vars is None:
+            teacher_vars = jax.eval_shape(
+                lambda: self.teacher.init(kt, dummy, train=False)
+            )
+            teacher_vars = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), teacher_vars
+            )
+            log.warning("teacher initialized with zeros — load a real checkpoint "
+                        "for distillation (cfg.T_ckpt_path)")
+        if student_vars is None:
+            student_vars = self.student.init(ks, dummy, train=False)
+        if d_vars is None:
+            adv = cfg.imsize_for_adv
+            d_vars = self.discriminator.init(
+                kd, jnp.zeros((1, adv, adv, cfg.classes_num), jnp.float32), train=False
+            )
+
+        self.g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum,
+                             cfg.weight_decay)
+        self.d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum,
+                             cfg.weight_decay)
+        self.state = create_train_state(rng, teacher_vars, student_vars, d_vars,
+                                        self.g_tx, self.d_tx, last_step=cfg.last_step)
+
+        self.mesh = make_mesh(cfg.num_data_shards, cfg.num_model_shards) \
+            if cfg.num_data_shards * cfg.num_model_shards > 1 else None
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+            self.batch_sharding = batch_sharding(self.mesh)
+        else:
+            self.batch_sharding = None
+
+        step_fn = make_train_step(cfg, self.teacher, self.student,
+                                  self.discriminator, self.g_tx, self.d_tx)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self.g_sched = poly_schedule(cfg.lr_g, cfg.num_steps, cfg.power)
+        self.d_sched = poly_schedule(cfg.lr_d, cfg.num_steps, cfg.power)
+
+    # ------------------------------------------------------------------ train
+    def fit(self, train_iter: Iterable, val_loader: Optional[Iterable] = None,
+            eval_out_size=(1024, 2048)):
+        cfg = self.cfg
+        best = cfg.best_mean_IU
+        t_last = time.time()
+        for step_idx, batch in enumerate(train_iter, cfg.last_step + 1):
+            images, labels = batch[0], batch[1]
+            if self.batch_sharding is not None and not hasattr(images, "sharding"):
+                images = jax.device_put(images, self.batch_sharding)
+                labels = jax.device_put(labels, self.batch_sharding)
+            self.state, metrics = self.train_step(self.state, images, labels)
+
+            if step_idx % cfg.log_every == 0:
+                metrics = jax.device_get(metrics)
+                dt = time.time() - t_last
+                ips = cfg.log_every * cfg.batch_size / max(dt, 1e-9)
+                t_last = time.time()
+                log.info(
+                    "step:%5d G_lr:%.6f G_loss:%.5f (mc:%.5f pi:%.5f pa:%.5f) "
+                    "D_lr:%.6f D_loss:%.5f img/s:%.2f",
+                    step_idx, float(self.g_sched(step_idx)),
+                    float(metrics.get("g_loss", 0.0)),
+                    float(metrics.get("mc_loss", 0.0)),
+                    float(metrics.get("pi_loss", 0.0)),
+                    float(metrics.get("pa_loss", 0.0)),
+                    float(self.d_sched(step_idx)),
+                    float(metrics.get("d_loss", 0.0)), ips,
+                )
+
+            if val_loader is not None and cfg.should_eval(step_idx):
+                mean_iu, iu_array = self.evaluate(val_loader, eval_out_size)
+                log.info("[val] step %d mean_IU: %.6f IU_array: %s",
+                         step_idx, mean_iu, np.array2string(iu_array, precision=4))
+                self.save_checkpoint(step_idx, mean_iu)
+                best = max(best, mean_iu)
+        return best
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, val_loader: Iterable, out_size=(1024, 2048), whole=True):
+        variables = {
+            "params": self.state.student_params,
+            "batch_stats": self.state.student_stats,
+        }
+        return evaluate_main(
+            self.student, variables, val_loader, self.cfg.classes_num,
+            out_size=out_size, eval_type="val", whole=whole,
+            ignore_label=self.cfg.ignore_label,
+        )
+
+    # ------------------------------------------------------------------- ckpt
+    def save_checkpoint(self, step: int, mean_iu: float):
+        from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
+
+        os.makedirs(self.cfg.snapshot_dir, exist_ok=True)
+        path = os.path.join(self.cfg.snapshot_dir, f"CS_scenes_{step}_{mean_iu}")
+        ckpt.save_state(path, self.state, step=step, mean_iu=mean_iu)
+        return path

@@ -14,3 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (after env setup)
+
+# The axon sitecustomize imports jax at interpreter startup (before conftest),
+# so JAX_PLATFORMS in os.environ is snapshotted as "axon" — override through
+# the live config instead. XLA_FLAGS is read at backend-client creation, which
+# hasn't happened yet, so the host-device-count flag above still applies.
+jax.config.update("jax_platforms", "cpu")
+
+# Convs/dots must run at exact f32 for parity-vs-torch assertions.
+jax.config.update("jax_default_matmul_precision", "highest")

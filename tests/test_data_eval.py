@@ -1,0 +1,155 @@
+"""Data-pipeline and evaluator tests (synthetic / temp-file based)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structure_knowledge_distillation_tpu.data import (
+    CityscapesDataset,
+    SyntheticSegDataset,
+    batch_iterator,
+    id2trainid,
+    trainid2id,
+)
+from structure_knowledge_distillation_tpu.data.cityscapes import IMG_MEAN_BGR
+from structure_knowledge_distillation_tpu.training.evaluate import (
+    confusion_matrix,
+    get_palette,
+    iu_from_confusion,
+    predict_multiscale,
+    predict_sliding,
+)
+
+
+def test_trainid_lut():
+    # reference datasets.py:146-151
+    label = np.array([[7, 8, 33], [0, 6, 26]], np.uint8)
+    mapped = id2trainid(label)
+    np.testing.assert_array_equal(mapped, [[0, 1, 18], [255, 255, 13]])
+    # reverse map for submission (ignore stays out of range by design)
+    back = trainid2id(np.array([[0, 1, 18]], np.uint8))
+    np.testing.assert_array_equal(back, [[7, 8, 33]])
+
+
+def _write_fake_cityscapes(tmp_path, n=3, h=40, w=60):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        # labelIds in the raw 0..33 space
+        lab = rng.integers(0, 34, (h, w)).astype(np.uint8)
+        ip, lp = f"leftImg8bit/img_{i}.png", f"gtFine/lab_{i}.png"
+        os.makedirs(os.path.dirname(tmp_path / ip), exist_ok=True)
+        os.makedirs(os.path.dirname(tmp_path / lp), exist_ok=True)
+        cv2.imwrite(str(tmp_path / ip), img)
+        cv2.imwrite(str(tmp_path / lp), lab)
+        lines.append(f"{ip}\t{lp}\n")
+    lst = tmp_path / "train.lst"
+    lst.write_text("".join(lines))
+    return str(tmp_path), str(lst)
+
+
+def test_cityscapes_dataset_augmentation(tmp_path):
+    root, lst = _write_fake_cityscapes(tmp_path)
+    ds = CityscapesDataset(root, lst, crop_size=(64, 64), scale=True, mirror=True, seed=3)
+    image, label, size, name = ds[0]
+    assert image.shape == (64, 64, 3) and image.dtype == np.float32
+    assert label.shape == (64, 64) and label.dtype == np.int32
+    # padded label regions use ignore; every label is a valid trainId or 255
+    valid = set(np.unique(label).tolist())
+    assert valid <= set(range(19)) | {255}
+    # image padding is exactly 0 (post mean-subtraction), so pads are where
+    # label == 255 beyond original content; at least check mean subtraction:
+    ds_noscale = CityscapesDataset(root, lst, crop_size=(40, 60), scale=False,
+                                   mirror=False, seed=3)
+    img2, _, _, _ = ds_noscale[1]
+    import cv2
+
+    raw = cv2.imread(os.path.join(root, "leftImg8bit/img_1.png"))
+    np.testing.assert_allclose(img2, raw.astype(np.float32) - IMG_MEAN_BGR, atol=1e-5)
+
+
+def test_cityscapes_max_iters_repeats(tmp_path):
+    root, lst = _write_fake_cityscapes(tmp_path)
+    ds = CityscapesDataset(root, lst, max_iters=10, crop_size=(32, 32))
+    assert len(ds) >= 10
+
+
+def test_batch_iterator_shapes():
+    ds = SyntheticSegDataset(length=7, crop_size=(16, 16), num_classes=5)
+    batches = list(batch_iterator(ds, 2, shuffle=True, drop_last=True))
+    assert len(batches) == 3
+    images, labels, sizes, names = batches[0]
+    assert images.shape == (2, 16, 16, 3)
+    assert labels.shape == (2, 16, 16)
+    assert len(names) == 2
+
+
+def test_confusion_matrix_matches_bincount_reference():
+    rng = np.random.default_rng(1)
+    c = 5
+    gt = rng.integers(0, c, (37,))
+    pred = rng.integers(0, c, (37,))
+    ours = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), c))
+    # reference evaluate.py:136-154
+    index = (gt * c + pred).astype("int32")
+    label_count = np.bincount(index, minlength=c * c)
+    theirs = label_count.reshape(c, c)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_confusion_matrix_respects_ignore():
+    c = 3
+    gt = np.array([0, 1, 255, 2, 255])
+    pred = np.array([0, 2, 1, 2, 0])
+    conf = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), c))
+    assert conf.sum() == 3
+    assert conf[0, 0] == 1 and conf[1, 2] == 1 and conf[2, 2] == 1
+
+
+def test_iu_formula():
+    conf = np.array([[5.0, 1.0], [2.0, 8.0]])
+    mean_iu, iu = iu_from_confusion(conf)
+    # IU_c = tp / (pos + res - tp), reference evaluate.py:200-206
+    np.testing.assert_allclose(iu[0], 5.0 / (6 + 7 - 5))
+    np.testing.assert_allclose(iu[1], 8.0 / (10 + 9 - 8))
+    np.testing.assert_allclose(mean_iu, iu.mean())
+
+
+def test_predict_sliding_counts_normalize():
+    classes = 4
+
+    def fake_tile_predictor(tile):
+        return np.ones((1, tile.shape[1], tile.shape[2], classes))
+
+    image = np.zeros((1, 100, 140, 3), np.float32)
+    probs = predict_sliding(fake_tile_predictor, image, (64, 64), classes)
+    assert probs.shape == (100, 140, classes)
+    np.testing.assert_allclose(probs, 1.0)
+
+
+def test_predict_multiscale_flip_average():
+    classes = 2
+    calls = []
+
+    def fake_whole(img):
+        calls.append(img.shape)
+        out = np.zeros((1, img.shape[1], img.shape[2], classes))
+        out[..., 0] = np.arange(img.shape[2])[None, None, :]
+        return out
+
+    image = np.zeros((1, 8, 8, 3), np.float32)
+    probs = predict_multiscale(fake_whole, image, scales=[1.0], flip=True)
+    # flip-average of a horizontal ramp is constant (N-1)/2
+    np.testing.assert_allclose(probs[..., 0], 3.5)
+    assert len(calls) == 2
+
+
+def test_palette_deterministic():
+    pal = get_palette(256)
+    assert len(pal) == 768
+    assert pal[:6] == [0, 0, 0, 128, 0, 0]  # class 1 = maroon (PASCAL scheme)

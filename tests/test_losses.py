@@ -1,0 +1,193 @@
+"""Loss parity tests vs. literal torch translations of the reference formulas
+(reference: utils/criterion.py, utils/utils.py:170-183)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from structure_knowledge_distillation_tpu.losses import (
+    adv_loss_for_d,
+    adv_loss_for_g,
+    criterion_dsn,
+    cross_entropy_ignore,
+    gradient_penalty,
+    pairwise_affinity_loss,
+    pixel_wise_kl,
+)
+
+
+def nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def test_cross_entropy_ignore_matches_torch():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(2, 8, 8, 19).astype(np.float32)
+    labels = rng.randint(0, 19, (2, 8, 8)).astype(np.int64)
+    labels[0, :3] = 255
+    ours = cross_entropy_ignore(jnp.asarray(logits), jnp.asarray(labels))
+    theirs = torch.nn.CrossEntropyLoss(ignore_index=255)(
+        nchw(logits), torch.from_numpy(labels)
+    )
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def test_cross_entropy_all_ignored_is_finite():
+    logits = jnp.zeros((1, 4, 4, 5))
+    labels = jnp.full((1, 4, 4), 255)
+    assert np.isfinite(float(cross_entropy_ignore(logits, labels)))
+
+
+def test_criterion_dsn_matches_reference_formula():
+    rng = np.random.RandomState(1)
+    main = rng.randn(2, 9, 9, 7).astype(np.float32)
+    aux = rng.randn(2, 9, 9, 7).astype(np.float32)
+    labels = rng.randint(0, 7, (2, 33, 33)).astype(np.int64)
+    labels[:, 0] = 255
+    ours = criterion_dsn(
+        (jnp.asarray(main), jnp.asarray(aux)), jnp.asarray(labels)
+    )
+    ce = torch.nn.CrossEntropyLoss(ignore_index=255)
+    up = lambda x: F.interpolate(nchw(x), size=(33, 33), mode="bilinear", align_corners=True)
+    theirs = ce(up(main), torch.from_numpy(labels)) + 0.4 * ce(up(aux), torch.from_numpy(labels))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-4)
+
+
+def test_pixel_wise_kl_matches_reference_formula():
+    rng = np.random.RandomState(2)
+    s = rng.randn(2, 9, 11, 19).astype(np.float32)
+    t = rng.randn(2, 9, 11, 19).astype(np.float32)
+    ours = pixel_wise_kl(jnp.asarray(s), jnp.asarray(t))
+    # reference criterion.py:219-226, on NCHW with N,C,W,H = shape
+    ts, tt = nchw(s), nchw(t)
+    N, C, W, H = ts.shape
+    softmax_t = F.softmax(tt.permute(0, 2, 3, 1).reshape(-1, C), dim=1)
+    logsoftmax_s = F.log_softmax(ts.permute(0, 2, 3, 1).reshape(-1, C), dim=1)
+    theirs = torch.sum(-softmax_t * logsoftmax_s) / W / H
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def _torch_sim_dis(f_s, f_t):
+    """Literal translation of reference utils/utils.py:170-183 (NCHW)."""
+    def L2(f):
+        return (((f ** 2).sum(dim=1)) ** 0.5).reshape(f.shape[0], 1, f.shape[2], f.shape[3]) + 1e-8
+
+    def similarity(feat):
+        feat = feat.float()
+        tmp = L2(feat).detach()
+        feat = feat / tmp
+        feat = feat.reshape(feat.shape[0], feat.shape[1], -1)
+        return torch.einsum("icm,icn->imn", [feat, feat])
+
+    sim_err = ((similarity(f_t) - similarity(f_s)) ** 2) / (
+        (f_t.shape[-1] * f_t.shape[-2]) ** 2
+    ) / f_t.shape[0]
+    return sim_err.sum()
+
+
+def test_pairwise_affinity_matches_reference_formula():
+    rng = np.random.RandomState(3)
+    # student 128ch, teacher 512ch, 65x65 like the real pipeline (scaled down)
+    fs = rng.randn(2, 13, 13, 8).astype(np.float32)
+    ft = rng.randn(2, 13, 13, 16).astype(np.float32)
+    scale = 0.5
+    ours = pairwise_affinity_loss(jnp.asarray(fs), jnp.asarray(ft), scale=scale)
+
+    tfs, tft = nchw(fs), nchw(ft)
+    total_w, total_h = tft.shape[2], tft.shape[3]
+    kw, kh = int(total_w * scale), int(total_h * scale)
+    pool = torch.nn.MaxPool2d(kernel_size=(kw, kh), stride=(kw, kh), padding=0, ceil_mode=True)
+    theirs = _torch_sim_dis(pool(tfs), pool(tft))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-4)
+
+
+def test_adv_losses_match_reference_formula():
+    rng = np.random.RandomState(4)
+    d_s = rng.randn(4, 1, 1, 1).astype(np.float32)
+    d_t = rng.randn(4, 1, 1, 1).astype(np.float32)
+    # G: -mean(fake) for both types
+    np.testing.assert_allclose(
+        float(adv_loss_for_g(jnp.asarray(d_s), "wgan-gp")), -d_s.mean(), rtol=1e-6
+    )
+    # D wgan: mean(fake) - mean(real)
+    np.testing.assert_allclose(
+        float(adv_loss_for_d(jnp.asarray(d_s), jnp.asarray(d_t), "wgan-gp")),
+        d_s.mean() - d_t.mean(), rtol=1e-5, atol=1e-7,
+    )
+    # D hinge
+    ours = float(adv_loss_for_d(jnp.asarray(d_s), jnp.asarray(d_t), "hinge"))
+    theirs = float(
+        torch.nn.ReLU()(1.0 - torch.from_numpy(d_t)).mean()
+        + torch.nn.ReLU()(1.0 + torch.from_numpy(d_s)).mean()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_gradient_penalty_linear_d_analytic():
+    """For D(x) = <k, x> the GP is exactly λ·(‖k‖−1)² regardless of α."""
+    rng = np.random.RandomState(5)
+    k = rng.randn(4, 4, 3).astype(np.float32)
+    real = rng.randn(2, 4, 4, 3).astype(np.float32)
+    fake = rng.randn(2, 4, 4, 3).astype(np.float32)
+
+    def d_fn(x):
+        return jnp.sum(x * jnp.asarray(k)[None], axis=(1, 2, 3))
+
+    gp = gradient_penalty(d_fn, jnp.asarray(real), jnp.asarray(fake),
+                          jax.random.PRNGKey(0), lambda_gp=10.0)
+    expected = 10.0 * (np.linalg.norm(k.ravel()) - 1.0) ** 2
+    np.testing.assert_allclose(float(gp), expected, rtol=1e-5)
+
+
+def test_gradient_penalty_matches_torch_nonlinear():
+    """Same fixed α, nonlinear D — compare against torch double-backward."""
+    rng = np.random.RandomState(6)
+    w = rng.randn(3, 5).astype(np.float32)
+    real = rng.randn(2, 2, 2, 3).astype(np.float32)
+    fake = rng.randn(2, 2, 2, 3).astype(np.float32)
+    alpha = rng.rand(2, 1, 1, 1).astype(np.float32)
+
+    def d_jax(x):  # per-sample score: sum(tanh(x @ w))
+        return jnp.sum(jnp.tanh(jnp.einsum("nhwc,cd->nhwd", x, jnp.asarray(w))), axis=(1, 2, 3))
+
+    interp = jnp.asarray(alpha * real + (1 - alpha) * fake)
+    g = jax.grad(lambda x: jnp.sum(d_jax(x)))(interp)
+    ours = float(jnp.mean(jnp.square(jnp.sqrt(jnp.sum(jnp.square(g.reshape(2, -1)), axis=1)) - 1)))
+
+    ti = torch.tensor(np.asarray(interp), requires_grad=True)
+    out = torch.tanh(torch.einsum("nhwc,cd->nhwd", ti, torch.from_numpy(w))).sum()
+    grad = torch.autograd.grad(out, ti, create_graph=True)[0].reshape(2, -1)
+    theirs = float(((grad.pow(2).sum(dim=1).sqrt() - 1) ** 2).mean())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_ohem_keeps_hardest_pixels():
+    from structure_knowledge_distillation_tpu.losses import ohem_cross_entropy
+
+    rng = np.random.RandomState(7)
+    logits = rng.randn(1, 16, 16, 5).astype(np.float32) * 3.0
+    labels = rng.randint(0, 5, (1, 16, 16))
+    labels[0, :2] = 255
+    # min_kept huge -> identical to plain masked CE over valid pixels
+    loss_all = ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                  min_kept=10**7, factor=2)
+    ce_all = cross_entropy_ignore(jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss_all), float(ce_all), rtol=1e-5)
+
+    # small min_kept -> mean over hardest pixels only (>= plain CE)
+    loss_hard = ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                   thresh=0.3, min_kept=64, factor=2)
+    assert float(loss_hard) >= float(ce_all)
+
+
+def test_criterion_ohem_dsn_runs():
+    from structure_knowledge_distillation_tpu.losses import criterion_ohem_dsn
+
+    rng = np.random.RandomState(8)
+    main = jnp.asarray(rng.randn(2, 9, 9, 5).astype(np.float32))
+    aux = jnp.asarray(rng.randn(2, 9, 9, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (2, 36, 36)))
+    loss = criterion_ohem_dsn((main, aux), labels, min_kept=100, thresh=0.5)
+    assert np.isfinite(float(loss))

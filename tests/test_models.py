@@ -1,0 +1,153 @@
+"""Model-level tests: the 7-tuple feature contract, the 65×65 geometry,
+the discriminator pipeline, and spectral-norm parity vs. torch semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from structure_knowledge_distillation_tpu.models import (
+    Discriminator,
+    ResPSPNet,
+    student_model,
+)
+
+
+def test_student_feature_contract_shapes():
+    """512² is too slow on CPU; 128² exercises the same stride arithmetic:
+    128 -> stem conv /2 -> 64 -> ceil pool -> 33 -> layer2 /2 -> 17."""
+    model = student_model(num_classes=19)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    logits, x_dsn, feat_psp, x4, x3, x2, x1 = outs
+    assert logits.shape == (1, 17, 17, 19)
+    assert x_dsn.shape == (1, 17, 17, 19)
+    assert feat_psp.shape == (1, 17, 17, 128)
+    assert x4.shape == (1, 17, 17, 512)
+    assert x3.shape == (1, 17, 17, 256)
+    assert x2.shape == (1, 17, 17, 128)
+    assert x1.shape == (1, 33, 33, 64)
+    # pairwise-loss indexing contract: feat_after_psp == index 2 == -5
+    assert outs[-5] is outs[2]
+
+
+def test_teacher_channel_widths():
+    model = ResPSPNet(block="bottleneck", layers=(1, 1, 1, 1), num_classes=19)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, x_dsn, feat_psp, x4, x3, x2, x1 = model.apply(variables, x, train=False)
+    assert feat_psp.shape[-1] == 512
+    assert x4.shape[-1] == 2048
+    assert x3.shape[-1] == 1024
+    assert x1.shape[-1] == 256
+
+
+def test_param_count_matches_torch_reference_scale():
+    """Student ResNet18-PSP should be ~13M params (reference logs ~13.07M)."""
+    model = student_model(num_classes=19)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert 12.5e6 < n < 14.0e6, n
+
+
+def test_discriminator_geometry_65():
+    """65×65 19-ch input -> 32 -> 16 -> 8 (attn) -> 4 (attn) -> 1×1 score."""
+    d = Discriminator(preprocess_mode=1, image_size=65)
+    x = jnp.zeros((2, 65, 65, 19), jnp.float32)
+    variables = d.init(jax.random.PRNGKey(0), x, train=False)
+    out, p1, p2 = d.apply(
+        variables, x, train=True, mutable=["batch_stats", "spectral"]
+    )[0]
+    assert out.shape == (2, 1, 1, 1)
+    assert p1.shape == (2, 64, 64)    # 8x8 positions
+    assert p2.shape == (2, 16, 16)    # 4x4 positions
+
+
+def test_spectral_norm_matches_torch():
+    """One power iteration + sigma normalization == the reference wrapper."""
+    from structure_knowledge_distillation_tpu.ops.spectral import SNConv
+
+    rng = np.random.RandomState(0)
+    w_oihw = rng.randn(8, 4, 4, 4).astype(np.float32)  # (O, I, kh, kw)
+    b = rng.randn(8).astype(np.float32)
+    u0 = rng.randn(8).astype(np.float32)
+    v0 = rng.randn(4 * 4 * 4).astype(np.float32)
+    u0 /= np.linalg.norm(u0)
+    v0 /= np.linalg.norm(v0)
+    x = rng.randn(2, 9, 9, 4).astype(np.float32)
+
+    # torch oracle: reference spectral.py semantics
+    w_mat = torch.from_numpy(w_oihw.reshape(8, -1))
+    u = torch.from_numpy(u0.copy())
+    v = torch.from_numpy(v0.copy())
+    v = torch.nn.functional.normalize(w_mat.t() @ u, dim=0, eps=1e-12)
+    u = torch.nn.functional.normalize(w_mat @ v, dim=0, eps=1e-12)
+    sigma = u @ (w_mat @ v)
+    w_sn = torch.from_numpy(w_oihw) / sigma
+    y_t = torch.nn.functional.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), w_sn, torch.from_numpy(b),
+        stride=2, padding=1,
+    )
+
+    mod = SNConv(features=8)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), update_stats=False)
+    w_hwio = np.transpose(w_oihw, (2, 3, 1, 0))  # OIHW -> HWIO
+    variables = {
+        "params": {"weight": jnp.asarray(w_hwio), "bias": jnp.asarray(b)},
+        "spectral": {"u": jnp.asarray(u0), "v": jnp.asarray(v0)},
+    }
+    y, new_state = mod.apply(
+        variables, jnp.asarray(x), update_stats=True, mutable=["spectral"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), y_t.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(new_state["spectral"]["u"]), u.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["spectral"]["v"]), v.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_spectral_norm_state_updates_only_when_training():
+    from structure_knowledge_distillation_tpu.ops.spectral import SNConv
+
+    mod = SNConv(features=8)
+    x = jnp.ones((1, 8, 8, 4))
+    variables = mod.init(jax.random.PRNGKey(0), x, update_stats=False)
+    _, state = mod.apply(variables, x, update_stats=False, mutable=["spectral"])
+    np.testing.assert_array_equal(
+        np.asarray(state["spectral"]["u"]), np.asarray(variables["spectral"]["u"])
+    )
+    _, state2 = mod.apply(variables, x, update_stats=True, mutable=["spectral"])
+    assert not np.allclose(
+        np.asarray(state2["spectral"]["u"]), np.asarray(variables["spectral"]["u"])
+    )
+
+
+def test_dropout_active_only_in_train():
+    model = student_model(num_classes=5)
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out_eval_1 = model.apply(variables, x, train=False)[0]
+    out_eval_2 = model.apply(variables, x, train=False)[0]
+    np.testing.assert_array_equal(np.asarray(out_eval_1), np.asarray(out_eval_2))
+    out_train = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )[0][0]
+    assert out_train.shape == out_eval_1.shape
+
+
+def test_espnet_c_contract_and_stride():
+    from structure_knowledge_distillation_tpu.models import ESPNetC
+
+    model = ESPNetC(num_classes=11, p=1, q=2)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    logits, aux, feat = outs[0], outs[1], outs[2]
+    assert logits.shape == (1, 12, 12, 11)     # stride 8
+    assert feat.shape == (1, 12, 12, 256)      # level-3 concat width
+    assert aux.shape[1] == 24                  # stride-4 aux head
+    assert outs[-5] is outs[2]

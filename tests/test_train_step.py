@@ -1,0 +1,185 @@
+"""Train-step tests on small stand-in networks honoring the 7-tuple contract.
+
+The step logic (4-term G loss, D step with WGAN-GP double-grad, spectral/BN
+state threading, optimizer semantics) is exercised with tiny conv nets so the
+1-core CPU test environment stays fast; full-model integration runs in
+test_integration.py / __graft_entry__.dryrun_multichip.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from structure_knowledge_distillation_tpu.config import TrainConfig
+from structure_knowledge_distillation_tpu.models import Discriminator
+from structure_knowledge_distillation_tpu.ops import ABN
+from structure_knowledge_distillation_tpu.training import (
+    create_train_state,
+    make_sgd,
+    make_train_step,
+    poly_schedule,
+)
+
+CLASSES = 7
+
+
+class TinyNet(nn.Module):
+    """Stride-8 stand-in emitting the ResPSPNet 7-tuple contract."""
+
+    width: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = nn.Conv(self.width, (8, 8), strides=(8, 8), padding="VALID")(x)
+        feat = ABN(activation="leaky_relu")(feat, not train)
+        logits = nn.Conv(CLASSES, (1, 1))(feat)
+        dsn = nn.Conv(CLASSES, (1, 1))(feat)
+        return (logits, dsn, feat, feat, feat, feat, feat)
+
+
+def make_cfg(**kw):
+    defaults = dict(
+        classes_num=CLASSES, batch_size=2, num_steps=100, input_size=(264, 264),
+        imsize_for_adv=33, lambda_pi=10.0, lambda_pa=1.0, lambda_d=0.1,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def build(cfg, rng=0, batch=2):
+    teacher = TinyNet(width=32)
+    student = TinyNet(width=16)
+    disc = Discriminator(preprocess_mode=cfg.preprocess_gan_mode,
+                         image_size=cfg.imsize_for_adv, conv_dim=16)
+    key = jax.random.PRNGKey(rng)
+    kt, ks, kd, kimg = jax.random.split(key, 4)
+    images = jax.random.normal(kimg, (batch, *cfg.input_size, 3), jnp.float32)
+    labels = jax.random.randint(kimg, (batch, *cfg.input_size), 0, CLASSES)
+    t_vars = teacher.init(kt, images, train=False)
+    s_vars = student.init(ks, images, train=False)
+    logits_shape = (batch, cfg.imsize_for_adv, cfg.imsize_for_adv, CLASSES)
+    d_vars = disc.init(kd, jnp.zeros(logits_shape), train=False)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    state = create_train_state(jax.random.PRNGKey(7), t_vars, s_vars, d_vars, g_tx, d_tx)
+    step_fn = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx))
+    return state, step_fn, images, labels
+
+
+def test_full_recipe_step_updates_everything():
+    cfg = make_cfg(pi=True, pa=True, ho=True, adv_loss_type="wgan-gp")
+    state, step_fn, images, labels = build(cfg)
+    new_state, metrics = step_fn(state, images, labels)
+    for k in ("g_loss", "mc_loss", "pi_loss", "pa_loss", "adv_g_loss", "d_loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
+    # student, D params and spectral state all moved
+    moved = lambda a, b: any(
+        not np.allclose(x, y) for x, y in
+        zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+    assert moved(new_state.student_params, state.student_params)
+    assert moved(new_state.d_params, state.d_params)
+    assert moved(new_state.d_spectral, state.d_spectral)
+    # teacher untouched
+    for x, y in zip(jax.tree.leaves(new_state.teacher_params),
+                    jax.tree.leaves(state.teacher_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_hinge_recipe_step():
+    cfg = make_cfg(adv_loss_type="hinge")
+    state, step_fn, images, labels = build(cfg)
+    _, metrics = step_fn(state, images, labels)
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_overfit_decreases_task_loss():
+    cfg = make_cfg(pi=False, pa=False, ho=False, lr_g=0.5, input_size=(64, 64))
+    state, step_fn, images, _ = build(cfg)
+    labels = jnp.full((images.shape[0], 64, 64), 3, jnp.int32)  # constant class
+    losses = []
+    for _ in range(10):
+        state, metrics = step_fn(state, images, labels)
+        losses.append(float(metrics["mc_loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_poly_lr_matches_reference_formula():
+    sched = poly_schedule(0.01, 40000, 0.9)
+    for it in (0, 1, 100, 39999):
+        expected = 0.01 * ((1 - it / 40000) ** 0.9)
+        np.testing.assert_allclose(float(sched(it)), expected, rtol=1e-5)
+
+
+def test_sgd_matches_torch_semantics():
+    """One update: grad+wd -> momentum buffer -> -lr*buf, vs literal torch math."""
+    import torch
+
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.5, 0.1, -0.3], np.float32)
+    lr, mu, wd = 0.01, 0.9, 5e-4
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([tw], lr=lr, momentum=mu, weight_decay=wd)
+    for _ in range(3):
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    tx = make_sgd(lr, 10**9, 0.9, mu, wd)  # huge num_steps => lr ~ const
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    import optax
+    for _ in range(3):
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_data_parallel_invariance():
+    """One sharded step over an 8-device data mesh == the unsharded step.
+
+    This is the invariant the reference's DataParallel criteria + sync BN
+    machinery existed to preserve (SURVEY.md §2 C10/C14)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh, shard_state,
+    )
+
+    cfg = make_cfg(batch_size=8)
+    state, _, _, _ = build(cfg, batch=8)
+    teacher = TinyNet(width=32)
+    student = TinyNet(width=16)
+    disc = Discriminator(preprocess_mode=1, image_size=33, conv_dim=16)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    step = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+
+    key = jax.random.PRNGKey(3)
+    images = jax.random.normal(key, (8, *cfg.input_size, 3), jnp.float32)
+    labels = jax.random.randint(key, (8, *cfg.input_size), 0, CLASSES)
+
+    ref_state, ref_metrics = jax.jit(step)(state, images, labels)
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    sh_state = shard_state(state, mesh)
+    bs = batch_sharding(mesh)
+    images_sh = jax.device_put(images, bs)
+    labels_sh = jax.device_put(labels, bs)
+    new_state, metrics = jax.jit(step)(sh_state, images_sh, labels_sh)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=1e-5,
+        ), k
+    # student BN running stats identical => sync-BN semantics hold under DP
+    for a, b in zip(jax.tree.leaves(new_state.student_stats),
+                    jax.tree.leaves(ref_state.student_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
