@@ -72,15 +72,20 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
     step = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx),
                    donate_argnums=(0,))
 
+    import numpy as np
+
+    # NOTE: on the axon relay, block_until_ready does not force execution —
+    # a value fetch does. Materialize a scalar to fence the timed region.
     for _ in range(warmup):
         state, metrics = step(state, images, labels)
-    jax.block_until_ready(metrics)
+    float(np.asarray(metrics["g_loss"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, images, labels)
-    jax.block_until_ready(metrics)
+    g_loss = float(np.asarray(metrics["g_loss"]))
     dt = time.perf_counter() - t0
+    assert np.isfinite(g_loss)
 
     imgs_per_sec = batch_size * steps / dt
     n_chips = max(len(jax.devices()), 1)

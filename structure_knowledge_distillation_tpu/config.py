@@ -92,6 +92,8 @@ class TrainConfig:
     num_model_shards: int = 1  # tensor-parallel mesh size (teacher/student channels)
     seed: int = 0
     log_every: int = 10
+    profile_dir: str = ""  # if set, jax.profiler traces steps [10, 10+profile_steps)
+    profile_steps: int = 5
     eval_every: int = 0  # 0 => reference schedule (last 1000 steps, every 2975/batch)
     best_mean_IU: float = 0.0
 

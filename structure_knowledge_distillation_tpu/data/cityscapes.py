@@ -148,6 +148,7 @@ class CityscapesDataset:
         mirror: bool = True,
         ignore_label: int = 255,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.records = _parse_lst(root, list_path, with_labels=True)
         if max_iters is not None and self.records:
@@ -159,6 +160,11 @@ class CityscapesDataset:
         self.mirror = mirror
         self.ignore_label = ignore_label
         self.rng = np.random.default_rng(seed)
+        if use_native:
+            from structure_knowledge_distillation_tpu.data.native import get_native_lib
+
+            use_native = get_native_lib() is not None
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.records)
@@ -166,6 +172,8 @@ class CityscapesDataset:
     def __getitem__(self, index: int):
         rec = self.records[index]
         image = _imread_color_bgr(rec.img)
+        if self.use_native:
+            return self._getitem_native(rec, image)
         label = id2trainid(_imread_gray(rec.label))
         size = np.array(image.shape)
 
@@ -199,6 +207,29 @@ class CityscapesDataset:
             size,
             rec.name,
         )
+
+    def _getitem_native(self, rec, image: np.ndarray):
+        """One-pass C++ augmentation; identical rng draw order to the numpy
+        path so both produce the same geometry for a given seed."""
+        from structure_knowledge_distillation_tpu.data.native import native_augment
+
+        raw_label = _imread_gray(rec.label)
+        size = np.array(image.shape)
+        f = 1.0
+        if self.scale:
+            f = 0.7 + int(self.rng.integers(0, 15)) / 10.0
+        new_h = int(round(image.shape[0] * f))
+        new_w = int(round(image.shape[1] * f))
+        img_h = max(new_h, self.crop_h)
+        img_w = max(new_w, self.crop_w)
+        h_off = int(self.rng.integers(0, img_h - self.crop_h + 1))
+        w_off = int(self.rng.integers(0, img_w - self.crop_w + 1))
+        flip = bool(self.rng.integers(0, 2)) if self.mirror else False
+        out_img, out_label = native_augment(
+            image, raw_label, f, (self.crop_h, self.crop_w), h_off, w_off,
+            flip, self.mean, ID_TO_TRAINID_LUT, self.ignore_label,
+        )
+        return out_img, out_label, size, rec.name
 
 
 class CityscapesTestDataset:

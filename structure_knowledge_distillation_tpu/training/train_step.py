@@ -59,12 +59,35 @@ def make_train_step(
         drop_rng, gp_rng = jax.random.split(step_rng)
 
         # --- Teacher forward: eval mode (running stats), frozen.
-        preds_t = teacher.apply(
-            {"params": state.teacher_params, "batch_stats": state.teacher_stats},
-            images, train=False,
-        )
+        with jax.named_scope("teacher_forward"):
+            preds_t = teacher.apply(
+                {"params": state.teacher_params, "batch_stats": state.teacher_stats},
+                images, train=False,
+            )
         logits_t = jax.lax.stop_gradient(preds_t[0])
         feat_t = jax.lax.stop_gradient(preds_t[2])
+
+        # Cross-family distillation (e.g. ESPNet student, floor-stride, vs
+        # PSPNet teacher, ceil-stride): align the teacher's stride-8 grid to
+        # the student's. No-op for the reference R101→R18 pair. The student's
+        # output grid is known statically via eval_shape.
+        s_out_shapes = jax.eval_shape(
+            lambda p: student.apply(
+                {"params": p, "batch_stats": state.student_stats},
+                images, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )[0],
+            state.student_params,
+        )
+        if logits_t.shape[1:3] != s_out_shapes[0].shape[1:3]:
+            from structure_knowledge_distillation_tpu.ops.resize import (
+                resize_bilinear_align_corners,
+            )
+
+            logits_t = resize_bilinear_align_corners(
+                logits_t, s_out_shapes[0].shape[1:3])
+            feat_t = resize_bilinear_align_corners(
+                feat_t, s_out_shapes[2].shape[1:3])
 
         # --- G (student) loss and update.
         def g_loss_fn(s_params):
@@ -102,9 +125,10 @@ def make_train_step(
                 loss = loss + cfg.lambda_d * adv_g
             return loss, (metrics, preds_s[0], s_mut, d_mut)
 
-        (g_loss, (metrics, logits_s, s_mut, d_mut)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.student_params)
+        with jax.named_scope("student_loss_and_grad"):
+            (g_loss, (metrics, logits_s, s_mut, d_mut)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.student_params)
         metrics["g_loss"] = g_loss
 
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.student_params)

@@ -111,12 +111,21 @@ class KDTrainer:
         cfg = self.cfg
         best = cfg.best_mean_IU
         t_last = time.time()
+        profile_dir = getattr(cfg, "profile_dir", "")
+        profile_start = 10
         for step_idx, batch in enumerate(train_iter, cfg.last_step + 1):
+            if profile_dir and step_idx == profile_start:
+                jax.profiler.start_trace(profile_dir)
             images, labels = batch[0], batch[1]
             if self.batch_sharding is not None and not hasattr(images, "sharding"):
                 images = jax.device_put(images, self.batch_sharding)
                 labels = jax.device_put(labels, self.batch_sharding)
             self.state, metrics = self.train_step(self.state, images, labels)
+            if profile_dir and step_idx == profile_start + cfg.profile_steps:
+                jax.device_get(metrics)
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", profile_dir)
+                profile_dir = ""
 
             if step_idx % cfg.log_every == 0:
                 metrics = jax.device_get(metrics)

@@ -9,13 +9,13 @@ import time
 __all__ = ["log_init"]
 
 
-def log_init(log_dir: str, name: str = "log") -> None:
+def log_init(log_dir: str, name: str = "log", level: int = logging.INFO) -> None:
     os.makedirs(log_dir, exist_ok=True)
     stamp = time.strftime("%Y-%m-%d_%H:%M:%S", time.localtime())
     logging.basicConfig(
         filename=os.path.join(log_dir, f"{name}_{stamp}.log"),
         format="%(asctime)s - %(pathname)s[line:%(lineno)d] - %(levelname)s: %(message)s",
-        level=logging.DEBUG,
+        level=level,  # INFO by default: DEBUG floods the file with jax internals
         force=True,
     )
     console = logging.StreamHandler()

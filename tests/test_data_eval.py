@@ -153,3 +153,47 @@ def test_palette_deterministic():
     pal = get_palette(256)
     assert len(pal) == 768
     assert pal[:6] == [0, 0, 0, 128, 0, 0]  # class 1 = maroon (PASCAL scheme)
+
+
+def test_native_augment_matches_numpy_path(tmp_path):
+    """The fused C++ kernel reproduces the numpy/cv2 reference pipeline:
+    identical geometry (labels exact), pixel values within cv2's fixed-point
+    tolerance."""
+    import pytest as _pytest
+
+    from structure_knowledge_distillation_tpu.data.native import get_native_lib
+
+    if get_native_lib() is None:
+        _pytest.skip("native lib unavailable")
+
+    root, lst = _write_fake_cityscapes(tmp_path, n=2, h=50, w=70)
+    for seed in (0, 1, 2, 5):
+        ds_np = CityscapesDataset(root, lst, crop_size=(48, 48), scale=True,
+                                  mirror=True, seed=seed, use_native=False)
+        ds_nat = CityscapesDataset(root, lst, crop_size=(48, 48), scale=True,
+                                   mirror=True, seed=seed, use_native=True)
+        assert ds_nat.use_native
+        img_a, lab_a, _, _ = ds_np[0]
+        img_b, lab_b, _, _ = ds_nat[0]
+        np.testing.assert_array_equal(lab_a, lab_b)
+        np.testing.assert_allclose(img_a, img_b, atol=1.0)
+        # pads (label==255 region beyond content) must be exactly zero in both
+        assert img_b.dtype == np.float32 and lab_b.dtype == np.int32
+
+
+def test_native_confusion_matches_jit():
+    import pytest as _pytest
+
+    from structure_knowledge_distillation_tpu.data.native import (
+        get_native_lib, native_confusion,
+    )
+
+    if get_native_lib() is None:
+        _pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 6, (500,)).astype(np.int32)
+    gt[::7] = 255
+    pred = rng.integers(0, 6, (500,)).astype(np.int32)
+    ours = native_confusion(pred, gt, 6)
+    ref = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), 6))
+    np.testing.assert_array_equal(ours, ref.astype(np.int64))
