@@ -25,7 +25,9 @@ BASELINE_IMG_PER_SEC = 22.0
 
 
 def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
-         steps: int = 10, compute_dtype: str = "bfloat16") -> dict:
+         steps: int = 10, compute_dtype: str = "bfloat16",
+         pi: bool = True, pa: bool = True, ho: bool = True,
+         teacher_layers=(3, 4, 23, 3)) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -41,10 +43,11 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
     cfg = TrainConfig(
         classes_num=19, batch_size=batch_size,
         input_size=(image_size, image_size), num_steps=40000,
-        pi=True, pa=True, ho=True, adv_loss_type="wgan-gp",
+        pi=pi, pa=pa, ho=ho, adv_loss_type="wgan-gp",
         imsize_for_adv=65, compute_dtype=compute_dtype,
     )
-    teacher = ResPSPNet(block="bottleneck", layers=(3, 4, 23, 3), num_classes=19, dtype=dtype)
+    teacher = ResPSPNet(block="bottleneck", layers=tuple(teacher_layers),
+                        num_classes=19, dtype=dtype)
     student = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19, dtype=dtype)
     disc = Discriminator(preprocess_mode=1, image_size=65, conv_dim=64, dtype=dtype)
 

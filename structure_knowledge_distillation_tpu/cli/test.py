@@ -43,7 +43,8 @@ def main(argv=None):
     loader = batch_iterator(ds, 1, shuffle=False, drop_last=False)
     evaluate_main(
         model, variables, loader, cfg.classes_num, out_size=(1024, 2048),
-        eval_type="test", output_dir=cfg.output_dir, whole=True,
+        eval_type="test", output_dir=cfg.output_dir, whole=cfg.whole,
+        scales=cfg.scales, flip=cfg.flip,
     )
     log.info("wrote submission PNGs to %s", cfg.output_dir)
 

@@ -114,6 +114,9 @@ def main(argv=None):
     log_init(cfg.log_path, cfg.data_set)
     for key, val in vars(cfg).items():
         log.info("%s : %s", key, val)
+    from structure_knowledge_distillation_tpu.utils import save_args
+
+    save_args(cfg, f"{cfg.log_path}/args.txt")
 
     train_ds, val_ds = build_datasets(cfg)
     teacher_vars, student_vars, d_vars = load_initial_variables(cfg)

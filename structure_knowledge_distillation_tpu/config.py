@@ -85,6 +85,7 @@ class TrainConfig:
 
     # model family
     student_arch: str = "resnet18"  # resnet18 (PSPNet head) | espnet (ESPNet-C)
+    teacher_layers: Tuple[int, ...] = (3, 4, 23, 3)  # R101; smaller for smoke runs
 
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # bfloat16 | float32 for conv compute
@@ -158,6 +159,7 @@ class TrainConfig:
         p.add_argument("--preprocess-GAN-mode", dest="preprocess_gan_mode",
                        default=cls.preprocess_gan_mode, type=int)
         p.add_argument("--student-arch", default=cls.student_arch, type=str)
+        p.add_argument("--teacher-layers", default="3,4,23,3", type=str)
         p.add_argument("--ohem", default=False, type=str2bool)
         p.add_argument("--ohem-thresh", default=cls.ohem_thresh, type=float)
         p.add_argument("--ohem-min-kept", default=cls.ohem_min_kept, type=int)
@@ -175,6 +177,8 @@ class TrainConfig:
         for key, val in vars(ns).items():
             if key == "input_size":
                 kwargs["input_size"] = (h, w)
+            elif key == "teacher_layers":
+                kwargs["teacher_layers"] = tuple(int(x) for x in val.split(","))
             elif key in field_names:
                 kwargs[key] = val
         return cls(**kwargs)
@@ -189,6 +193,9 @@ class TestConfig:
     resume_from: str = ""
     classes_num: int = 19
     output_dir: str = "outputs"
+    whole: bool = True          # whole-image vs sliding-tile inference
+    flip: bool = False          # flip-average
+    scales: Tuple[float, ...] = (1.0,)  # multi-scale averaging
 
     @classmethod
     def from_args(cls, argv: Optional[list] = None) -> "TestConfig":
@@ -198,5 +205,11 @@ class TestConfig:
         p.add_argument("--resume-from", default="", type=str)
         p.add_argument("--classes_num", default=19, type=int)
         p.add_argument("--output-dir", default="outputs", type=str)
+        p.add_argument("--whole", default=True, type=str2bool)
+        p.add_argument("--flip", default=False, type=str2bool)
+        p.add_argument("--scales", default="1.0", type=str,
+                       help="comma-separated, e.g. 0.75,1.0,1.25")
         ns = p.parse_args(argv)
-        return cls(**vars(ns))
+        kw = vars(ns)
+        kw["scales"] = tuple(float(s) for s in kw["scales"].split(","))
+        return cls(**kw)

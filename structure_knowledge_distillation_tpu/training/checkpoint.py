@@ -37,6 +37,44 @@ __all__ = [
 log = logging.getLogger(__name__)
 
 
+# --------------------------------------------------------------------- orbax
+_async_mgr = None
+
+
+def save_state_async(directory: str, state, step: int, keep: int = 3) -> None:
+    """Async Orbax checkpointing (reference had none — crash = rerun; see
+    SURVEY.md §5). Saves proceed in the background; call `wait_for_saves()`
+    (or let the next save barrier) before reading the files."""
+    global _async_mgr
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    if _async_mgr is None or _async_mgr.directory != ocp.path.epath.Path(directory):
+        options = ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                               enable_async_checkpointing=True)
+        _async_mgr = ocp.CheckpointManager(directory, options=options)
+    _async_mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+
+
+def wait_for_saves() -> None:
+    if _async_mgr is not None:
+        _async_mgr.wait_until_finished()
+
+
+def restore_latest(directory: str, state_template):
+    """Restore the newest async checkpoint in `directory` (auto-resume)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    mgr = ocp.CheckpointManager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        return None, None
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(
+        jax.device_get(state_template)))
+    return restored, step
+
+
 # --------------------------------------------------------------------- native
 def save_state(path: str, state, **meta) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -47,8 +47,10 @@ class KDTrainer:
         self.cfg = cfg
         dtype = _dtype_of(cfg.compute_dtype)
 
-        self.teacher = ResPSPNet(block="bottleneck", layers=(3, 4, 23, 3),
-                                 num_classes=cfg.classes_num, dtype=dtype)
+        self.teacher = ResPSPNet(
+            block="bottleneck",
+            layers=tuple(getattr(cfg, "teacher_layers", (3, 4, 23, 3))),
+            num_classes=cfg.classes_num, dtype=dtype)
         if getattr(cfg, "student_arch", "resnet18") == "espnet":
             from structure_knowledge_distillation_tpu.models import ESPNetC
 
@@ -111,6 +113,11 @@ class KDTrainer:
         cfg = self.cfg
         best = cfg.best_mean_IU
         t_last = time.time()
+        writer = None
+        if cfg.log_path:
+            from structure_knowledge_distillation_tpu.utils import MetricsWriter
+
+            writer = MetricsWriter(cfg.log_path)
         profile_dir = getattr(cfg, "profile_dir", "")
         profile_start = 10
         for step_idx, batch in enumerate(train_iter, cfg.last_step + 1):
@@ -143,13 +150,22 @@ class KDTrainer:
                     float(self.d_sched(step_idx)),
                     float(metrics.get("d_loss", 0.0)), ips,
                 )
+                if writer is not None:
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars["img_per_sec"] = ips
+                    scalars["g_lr"] = float(self.g_sched(step_idx))
+                    writer.write(step_idx, scalars)
 
             if val_loader is not None and cfg.should_eval(step_idx):
                 mean_iu, iu_array = self.evaluate(val_loader, eval_out_size)
                 log.info("[val] step %d mean_IU: %.6f IU_array: %s",
                          step_idx, mean_iu, np.array2string(iu_array, precision=4))
+                if writer is not None:
+                    writer.write(step_idx, {"val_mean_iu": mean_iu})
                 self.save_checkpoint(step_idx, mean_iu)
                 best = max(best, mean_iu)
+        if writer is not None:
+            writer.close()
         return best
 
     # ------------------------------------------------------------------- eval

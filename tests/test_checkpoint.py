@@ -91,3 +91,43 @@ def test_save_restore_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     meta = ckpt.load_meta(path)
     assert meta["step"] == 3 and abs(meta["mean_iu"] - 0.5) < 1e-9
+
+
+def test_orbax_async_save_restore(tmp_path):
+    from structure_knowledge_distillation_tpu.training import (
+        create_train_state, make_sgd,
+    )
+
+    model, variables = _tiny_student_vars()
+    tx = make_sgd(0.01, 100, 0.9, 0.9, 5e-4)
+    state = create_train_state(
+        jax.random.PRNGKey(0), variables, variables,
+        {"params": {"w": jnp.ones((3,))}}, tx, tx, last_step=7,
+    )
+    ckpt.save_state_async(str(tmp_path / "orbax"), state, step=7)
+    ckpt.wait_for_saves()
+    restored, step = ckpt.restore_latest(str(tmp_path / "orbax"), state)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_make_cityscapes_lists(tmp_path):
+    import os
+
+    from structure_knowledge_distillation_tpu.data.lists import make_cityscapes_lists
+
+    for split, city in (("train", "aachen"), ("val", "munich"), ("test", "berlin")):
+        os.makedirs(tmp_path / "leftImg8bit" / split / city, exist_ok=True)
+        os.makedirs(tmp_path / "gtFine" / split / city, exist_ok=True)
+        for i in range(2):
+            (tmp_path / "leftImg8bit" / split / city /
+             f"{city}_{i:06d}_leftImg8bit.png").touch()
+            (tmp_path / "gtFine" / split / city /
+             f"{city}_{i:06d}_gtFine_labelIds.png").touch()
+    written = make_cityscapes_lists(str(tmp_path))
+    assert set(written) == {"train", "val", "test"}
+    train_lines = open(written["train"]).readlines()
+    assert len(train_lines) == 2 and "\t" in train_lines[0]
+    test_lines = open(written["test"]).readlines()
+    assert len(test_lines) == 2 and "\t" not in test_lines[0]
