@@ -8,6 +8,11 @@ from structure_knowledge_distillation_tpu.models.resnet_pspnet import (
     student_model,
     teacher_model,
 )
+from structure_knowledge_distillation_tpu.models.abn_blocks import (
+    DenseModule,
+    GlobalAvgPool2d,
+    IdentityResidualBlock,
+)
 from structure_knowledge_distillation_tpu.models.espnet import ESPNetC
 from structure_knowledge_distillation_tpu.models.sagan import Discriminator, SelfAttention
 
@@ -23,4 +28,7 @@ __all__ = [
     "Discriminator",
     "SelfAttention",
     "ESPNetC",
+    "DenseModule",
+    "GlobalAvgPool2d",
+    "IdentityResidualBlock",
 ]

@@ -67,11 +67,13 @@ class BasicBlock(nn.Module):
     has_downsample: bool = False
     axis_name: Optional[str] = None
     dtype: Any = None
+    bn_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         d = self.dilation * self.multi_grid
-        bn = lambda name: ABN(activation="none", axis_name=self.axis_name, name=name)
+        bn = lambda name: ABN(activation="none", axis_name=self.axis_name,
+                              fused=self.bn_fused, name=name)
         out = _conv(self.planes, 3, self.stride, d, dtype=self.dtype, name="conv1")(x)
         out = nn.relu(bn("bn1")(out, not train))
         out = _conv(self.planes, 3, 1, d, dtype=self.dtype, name="conv2")(out)
@@ -94,13 +96,15 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     axis_name: Optional[str] = None
     dtype: Any = None
+    bn_fused: bool = False
 
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         d = self.dilation * self.multi_grid
-        bn = lambda name: ABN(activation="none", axis_name=self.axis_name, name=name)
+        bn = lambda name: ABN(activation="none", axis_name=self.axis_name,
+                              fused=self.bn_fused, name=name)
         out = _conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
         out = nn.relu(bn("bn1")(out, not train))
         out = _conv(self.planes, 3, self.stride, d, dtype=self.dtype, name="conv2")(out)
@@ -128,6 +132,7 @@ class PSPModule(nn.Module):
     sizes: Sequence[int] = (1, 2, 3, 6)
     axis_name: Optional[str] = None
     dtype: Any = None
+    bn_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -137,12 +142,13 @@ class PSPModule(nn.Module):
             p = adaptive_avg_pool_2d(x, (size, size))
             p = _conv(self.out_features, 1, dtype=self.dtype, name=f"stage{i}_conv")(p)
             p = ABN(activation="leaky_relu", axis_name=self.axis_name,
-                    name=f"stage{i}_bn")(p, not train)
+                    fused=self.bn_fused, name=f"stage{i}_bn")(p, not train)
             priors.append(resize_bilinear_align_corners(p, (h, w)))
         priors.append(x)
         y = jnp.concatenate(priors, axis=-1)
         y = _conv(self.out_features, 3, dtype=self.dtype, name="bottleneck_conv")(y)
-        y = ABN(activation="leaky_relu", axis_name=self.axis_name, name="bottleneck_bn")(y, not train)
+        y = ABN(activation="leaky_relu", axis_name=self.axis_name,
+                fused=self.bn_fused, name="bottleneck_bn")(y, not train)
         y = nn.Dropout(rate=0.1, broadcast_dims=(1, 2), deterministic=not train,
                        name="bottleneck_dropout")(y)
         return y
@@ -160,6 +166,7 @@ class ResPSPNet(nn.Module):
     num_classes: int = 19
     axis_name: Optional[str] = None
     dtype: Any = None  # compute dtype for convolutions (e.g. jnp.bfloat16)
+    bn_fused: bool = False  # use the Pallas fused ABN kernels
 
     @property
     def _block_cls(self):
@@ -173,7 +180,8 @@ class ResPSPNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        bn = lambda name: ABN(activation="none", axis_name=self.axis_name, name=name)
+        bn = lambda name: ABN(activation="none", axis_name=self.axis_name,
+                              fused=self.bn_fused, name=name)
         # Stem: 3 -> 64 -> 64 -> 128, stride 2 then ceil-mode 3x3/2 max pool.
         x = nn.relu(bn("bn1")(_conv(64, 3, 2, dtype=self.dtype, name="conv1")(x), not train))
         x = nn.relu(bn("bn2")(_conv(64, 3, 1, dtype=self.dtype, name="conv2")(x), not train))
@@ -199,6 +207,7 @@ class ResPSPNet(nn.Module):
                     has_downsample=has_down,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
+                    bn_fused=self.bn_fused,
                     name=f"layer{li}_{bi}",
                 )(x, train)
                 inplanes = planes * self._expansion
@@ -209,14 +218,16 @@ class ResPSPNet(nn.Module):
         # DSN auxiliary head from layer3.
         dsn_mid = 512 if self.block == BOTTLENECK else 128
         d = _conv(dsn_mid, 3, use_bias=True, dtype=self.dtype, name="dsn_conv1")(x3)
-        d = ABN(activation="leaky_relu", axis_name=self.axis_name, name="dsn_bn")(d, not train)
+        d = ABN(activation="leaky_relu", axis_name=self.axis_name,
+                fused=self.bn_fused, name="dsn_bn")(d, not train)
         d = nn.Dropout(rate=0.1, broadcast_dims=(1, 2), deterministic=not train,
                        name="dsn_dropout")(d)
         x_dsn = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype, name="dsn_conv2")(d)
 
         psp_out = 512 if self.block == BOTTLENECK else 128
         x_feat_after_psp = PSPModule(out_features=psp_out, axis_name=self.axis_name,
-                                     dtype=self.dtype, name="pspmodule")(x4, train)
+                                     dtype=self.dtype, bn_fused=self.bn_fused,
+                                     name="pspmodule")(x4, train)
         logits = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
                        name="head")(x_feat_after_psp)
         # Logits and the distilled feature in f32 for numerically stable losses.

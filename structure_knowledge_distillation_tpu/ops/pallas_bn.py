@@ -22,7 +22,10 @@ reference libs/functions.py:231-298:
 
 This path is opt-in (`ABN(fused=True)` / abn_fused_train directly): the
 pure-XLA path in batch_norm.py stays the default because XLA fuses the same
-elementwise chain into neighbouring ops; benchmarks decide per-platform.
+elementwise chain into neighbouring ops. Measured on a v5e (R18-PSP student
+train step, 512²×8, bf16): XLA path 12.0 ms/img vs Pallas path 19.7 ms/img —
+the hand-written kernel severs producer/consumer fusion, so it remains a
+reference implementation (and the `bn.cu` parity artifact), not the default.
 """
 
 from __future__ import annotations

@@ -151,3 +151,29 @@ def test_espnet_c_contract_and_stride():
     assert feat.shape == (1, 12, 12, 256)      # level-3 concat width
     assert aux.shape[1] == 24                  # stride-4 aux head
     assert outs[-5] is outs[2]
+
+
+def test_abn_extra_blocks():
+    from structure_knowledge_distillation_tpu.models import (
+        DenseModule, GlobalAvgPool2d, IdentityResidualBlock,
+    )
+
+    x = jnp.ones((2, 16, 16, 8))
+    assert GlobalAvgPool2d().apply({}, x).shape == (2, 8)
+
+    dense = DenseModule(growth=4, layers=3)
+    v = dense.init(jax.random.PRNGKey(0), x, train=False)
+    y = dense.apply(v, x, train=False)
+    assert y.shape == (2, 16, 16, 8 + 4 * 3)
+
+    for channels, stride in (((8, 8), 1), ((4, 4, 16), 2)):
+        blk = IdentityResidualBlock(channels=channels, stride=stride)
+        v = blk.init(jax.random.PRNGKey(0), x, train=False)
+        y = blk.apply(v, x, train=False)
+        assert y.shape == (2, 16 // stride, 16 // stride, channels[-1])
+
+
+def test_param_count_util():
+    from structure_knowledge_distillation_tpu.utils import count_params
+
+    assert count_params({"a": jnp.ones((3, 4)), "b": {"c": jnp.ones((5,))}}) == 17
