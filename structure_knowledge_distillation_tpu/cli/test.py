@@ -34,7 +34,7 @@ def main(argv=None):
     dummy = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
     if cfg.resume_from.endswith(".msgpack"):
-        variables = ckpt_io.restore_state(cfg.resume_from, variables)
+        variables = ckpt_io.load_student_variables(cfg.resume_from, variables)
     elif cfg.resume_from:
         sd = ckpt_io.load_torch_state_dict(cfg.resume_from)
         variables = ckpt_io.import_torch_respspnet(sd, variables)

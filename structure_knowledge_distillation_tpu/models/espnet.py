@@ -157,6 +157,6 @@ class ESPNetC(nn.Module):
                          name="classifier")(feat)
         aux = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
                       name="aux_classifier")(l2c)
-        to32 = lambda t: t.astype(jnp.float32)
-        # 7-tuple KD contract: aux head sits at stride 4 (level-2 concat)
-        return (to32(logits), to32(aux), to32(feat), l3c, l2c, l1c, l1)
+        # 7-tuple KD contract: aux head sits at stride 4 (level-2 concat);
+        # outputs stay in the compute dtype (losses cast where they accumulate)
+        return (logits, aux, feat, l3c, l2c, l1c, l1)

@@ -230,9 +230,9 @@ class ResPSPNet(nn.Module):
                                      name="pspmodule")(x4, train)
         logits = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
                        name="head")(x_feat_after_psp)
-        # Logits and the distilled feature in f32 for numerically stable losses.
-        to32 = lambda t: t.astype(jnp.float32)
-        return (to32(logits), to32(x_dsn), to32(x_feat_after_psp), x4, x3, x2, x1)
+        # Outputs stay in the compute dtype; every loss casts to f32 where it
+        # accumulates (keeping bf16 here halves loss-path HBM traffic).
+        return (logits, x_dsn, x_feat_after_psp, x4, x3, x2, x1)
 
 
 def teacher_model(num_classes: int = 19, axis_name: Optional[str] = None, dtype: Any = None) -> ResPSPNet:

@@ -93,6 +93,21 @@ def restore_state(path: str, state_template):
         return serialization.from_bytes(state_template, f.read())
 
 
+def load_student_variables(path: str, variables_template: dict) -> dict:
+    """Load student {params, batch_stats} from either a raw-variables msgpack
+    or a full KDTrainState msgpack (trainer snapshots)."""
+    if not path.endswith(".msgpack"):
+        path = path + ".msgpack"
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if "student_params" in raw:
+        tree = {"params": raw["student_params"],
+                "batch_stats": raw.get("student_stats", {})}
+    else:
+        tree = raw
+    return serialization.from_state_dict(variables_template, tree)
+
+
 def load_meta(path: str) -> dict:
     if path.endswith(".msgpack"):
         path = path[: -len(".msgpack")]

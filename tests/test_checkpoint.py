@@ -131,3 +131,29 @@ def test_make_cityscapes_lists(tmp_path):
     assert len(train_lines) == 2 and "\t" in train_lines[0]
     test_lines = open(written["test"]).readlines()
     assert len(test_lines) == 2 and "\t" not in test_lines[0]
+
+
+def test_load_student_variables_from_state_and_raw(tmp_path):
+    from structure_knowledge_distillation_tpu.training import (
+        create_train_state, make_sgd,
+    )
+
+    model, variables = _tiny_student_vars()
+    tx = make_sgd(0.01, 100, 0.9, 0.9, 5e-4)
+    state = create_train_state(
+        jax.random.PRNGKey(0), variables, variables,
+        {"params": {"w": jnp.ones((3,))}}, tx, tx,
+    )
+    path = ckpt.save_state(str(tmp_path / "full"), state, step=1, mean_iu=0.1)
+    template = jax.tree.map(jnp.zeros_like, variables)
+    got = ckpt.load_student_variables(path, template)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # raw-variables file too
+    from flax import serialization
+    raw_path = tmp_path / "raw.msgpack"
+    raw_path.write_bytes(serialization.to_bytes(jax.device_get(variables)))
+    got2 = ckpt.load_student_variables(str(raw_path), template)
+    for a, b in zip(jax.tree.leaves(got2), jax.tree.leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
