@@ -89,6 +89,7 @@ class TrainConfig:
 
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # bfloat16 | float32 for conv compute
+    fused_ce: str = "auto"  # auto (Pallas kernel on TPU) | true | false
     num_data_shards: int = 1  # data-parallel mesh size
     num_model_shards: int = 1  # tensor-parallel mesh size (teacher/student channels)
     seed: int = 0
@@ -164,6 +165,7 @@ class TrainConfig:
         p.add_argument("--ohem-thresh", default=cls.ohem_thresh, type=float)
         p.add_argument("--ohem-min-kept", default=cls.ohem_min_kept, type=int)
         p.add_argument("--compute-dtype", default=cls.compute_dtype, type=str)
+        p.add_argument("--fused-ce", default=cls.fused_ce, type=str)
         p.add_argument("--num-data-shards", default=1, type=int)
         p.add_argument("--num-model-shards", default=1, type=int)
         p.add_argument("--seed", default=0, type=int)

@@ -1,0 +1,207 @@
+"""Pallas kernel: cross-entropy over align-corners-upsampled logits,
+computed blockwise from the low-resolution logits.
+
+The reference semantics (utils/criterion.py:179-188) upsample stride-8 logits
+(65² × 19ch) to the label resolution (512²) and take ignore-masked mean CE.
+Done literally, the upsampled tensor (8×512²×19) plus its log-softmax and
+gather/scatter passes dominate the student step's HBM traffic (~12 GB/step
+measured; see ROADMAP.md).
+
+This kernel never materializes it: the whole 65²-per-channel logit map of one
+image fits in VMEM, so each grid step interpolates a (BP, W) row-block per
+class on the MXU (two small matmuls with the 1-D align-corners operators,
+channel-unrolled to keep every operand a clean 2-D tile — Mosaic does not
+allow mixed-dimension reshapes), stages the C per-class blocks in a VMEM
+scratch, reduces lse/picked/mask on the VPU, and accumulates scalar
+(loss-sum, valid-count) in SMEM. The custom-VJP backward recomputes the block
+and accumulates dX = Ahᵀ·D·Awᵀ directly into the low-res gradient — HBM
+traffic is just the low-res logits + labels.
+
+All arithmetic is f32 (better than the bf16-materialization fallback path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from structure_knowledge_distillation_tpu.ops.resize import interp_matrix_align_corners
+
+__all__ = ["upsampled_ce_loss"]
+
+
+def _pick_block(h_out: int) -> int:
+    for cand in (64, 32, 16, 8):
+        if h_out % cand == 0:
+            return cand
+    return h_out
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot(a, b, contract=((1,), (0,))):
+    return jax.lax.dot_general(a, b, (contract, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c):
+    """up_ref[k] = Ah_blk · X_k · Awᵀ for each class k (all 2-D matmuls)."""
+    for k in range(c):
+        xk = x_ref[0, k].astype(jnp.float32)            # (Hin, Win)
+        tmp = _dot(ah_blk, xk)                           # (BP, Win)
+        up_ref[k] = _dot(tmp, aw, contract=((1,), (1,)))  # (BP, W) = tmp @ Awᵀ
+
+
+def _ce_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref, up_ref,
+                   *, c: int, ignore: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        loss_ref[0, 0] = jnp.float32(0.0)
+        cnt_ref[0, 0] = jnp.float32(0.0)
+
+    ah_blk = ah_ref[:]
+    aw = aw_ref[:]
+    labels = labels_ref[0]
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c)
+
+    m = up_ref[0]
+    for k in range(1, c):
+        m = jnp.maximum(m, up_ref[k])
+    s = jnp.zeros_like(m)
+    picked = jnp.zeros_like(m)
+    for k in range(c):
+        up_k = up_ref[k]
+        s += jnp.exp(up_k - m)
+        picked += jnp.where(labels == k, up_k, 0.0)
+    lse = m + jnp.log(s)
+    mask = (labels != ignore).astype(jnp.float32)
+    loss_ref[0, 0] += jnp.sum((lse - picked) * mask)
+    cnt_ref[0, 0] += jnp.sum(mask)
+
+
+def _ce_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref, up_ref,
+                   *, c: int, ignore: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    ah_blk = ah_ref[:]
+    aw = aw_ref[:]
+    labels = labels_ref[0]
+    scale = scale_ref[0, 0]  # g / count
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c)
+
+    m = up_ref[0]
+    for k in range(1, c):
+        m = jnp.maximum(m, up_ref[k])
+    s = jnp.zeros_like(m)
+    for k in range(c):
+        s += jnp.exp(up_ref[k] - m)
+    mask_scale = jnp.where(labels != ignore, scale, 0.0)
+    for k in range(c):
+        softmax_k = jnp.exp(up_ref[k] - m) / s
+        onehot_k = (labels == k).astype(jnp.float32)
+        d_up_k = (softmax_k - onehot_k) * mask_scale     # (BP, W)
+        d_tmp = _dot(d_up_k, aw)                          # (BP, Win)
+        # dX_k (Hin, Win) += Ah_blkᵀ @ d_tmp
+        dx_ref[0, k] += _dot(ah_blk, d_tmp, contract=((0,), (0,))
+                             ).astype(dx_ref.dtype)
+
+
+def _specs(n, h_in, w_in, c, h_out, w_out, bp):
+    in_specs = [
+        pl.BlockSpec((bp, h_in), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w_out, w_in), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c, h_in, w_in), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bp, w_out), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((c, bp, w_out), jnp.float32)]
+    return in_specs, scratch
+
+
+def _run_fwd(logits, labels, out_size, ignore):
+    n, h_in, w_in, c = logits.shape
+    h_out, w_out = out_size
+    bp = _pick_block(h_out)
+    ah = interp_matrix_align_corners(h_in, h_out)
+    aw = interp_matrix_align_corners(w_in, w_out)
+    x_cm = jnp.transpose(logits, (0, 3, 1, 2))  # channel-major (N,C,Hin,Win)
+    in_specs, scratch = _specs(n, h_in, w_in, c, h_out, w_out, bp)
+    kernel = functools.partial(_ce_fwd_kernel, c=c, ignore=ignore)
+    loss_sum, cnt = pl.pallas_call(
+        kernel,
+        grid=(n, h_out // bp),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )(ah, aw, x_cm, labels.astype(jnp.int32))
+    return loss_sum[0, 0], cnt[0, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def upsampled_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                      out_size: Tuple[int, int], ignore_index: int = 255):
+    """mean CE(resize_align_corners(logits, out_size), labels) with ignore.
+
+    logits (N,h,w,C) any float dtype; labels (N,H,W) int. Equals the
+    reference CriterionDSN head term in f32 arithmetic.
+    """
+    loss_sum, cnt = _run_fwd(logits, labels, out_size, ignore_index)
+    return loss_sum / jnp.maximum(cnt, 1.0)
+
+
+def _fwd(logits, labels, out_size, ignore_index):
+    loss_sum, cnt = _run_fwd(logits, labels, out_size, ignore_index)
+    return loss_sum / jnp.maximum(cnt, 1.0), (logits, labels, cnt)
+
+
+def _bwd(out_size, ignore_index, residuals, g):
+    logits, labels, cnt = residuals
+    n, h_in, w_in, c = logits.shape
+    h_out, w_out = out_size
+    bp = _pick_block(h_out)
+    ah = interp_matrix_align_corners(h_in, h_out)
+    aw = interp_matrix_align_corners(w_in, w_out)
+    x_cm = jnp.transpose(logits, (0, 3, 1, 2))
+    scale = (g.astype(jnp.float32) / jnp.maximum(cnt, 1.0)).reshape(1, 1)
+    in_specs, scratch = _specs(n, h_in, w_in, c, h_out, w_out, bp)
+    in_specs = in_specs + [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    kernel = functools.partial(_ce_bwd_kernel, c=c, ignore=ignore_index)
+    dx_cm = pl.pallas_call(
+        kernel,
+        grid=(n, h_out // bp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, c, h_in, w_in), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, h_in, w_in), logits.dtype),
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )(ah, aw, x_cm, labels.astype(jnp.int32), scale)
+    return jnp.transpose(dx_cm, (0, 2, 3, 1)), None
+
+
+upsampled_ce_loss.defvjp(_fwd, _bwd)

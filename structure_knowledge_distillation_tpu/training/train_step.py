@@ -38,6 +38,16 @@ from structure_knowledge_distillation_tpu.losses import (
     pairwise_affinity_loss,
     pixel_wise_kl,
 )
+from structure_knowledge_distillation_tpu.losses.task import criterion_dsn_fused
+
+
+def _use_fused_ce(cfg) -> bool:
+    flag = getattr(cfg, "fused_ce", "auto")
+    if flag in (True, "true", "True"):
+        return True
+    if flag in (False, "false", "False"):
+        return False
+    return jax.default_backend() == "tpu"
 
 __all__ = ["make_train_step"]
 
@@ -100,6 +110,8 @@ def make_train_step(
             if getattr(cfg, "ohem", False):
                 mc = criterion_ohem_dsn(preds_s, labels, cfg.ignore_label,
                                         cfg.ohem_thresh, cfg.ohem_min_kept)
+            elif _use_fused_ce(cfg):
+                mc = criterion_dsn_fused(preds_s, labels, cfg.ignore_label)
             else:
                 mc = criterion_dsn(preds_s, labels, cfg.ignore_label)
             loss = mc

@@ -1,0 +1,57 @@
+"""Pallas upsampled-CE kernel vs the exact XLA criterion (values + grads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structure_knowledge_distillation_tpu.losses.task import cross_entropy_ignore
+from structure_knowledge_distillation_tpu.ops.pallas_ce import upsampled_ce_loss
+from structure_knowledge_distillation_tpu.ops.resize import resize_bilinear_align_corners
+
+
+def _ref_loss(logits, labels, out_size):
+    up = resize_bilinear_align_corners(logits.astype(jnp.float32), out_size)
+    return cross_entropy_ignore(up, labels)
+
+
+@pytest.mark.parametrize("hin,hout", [((9, 9), (64, 64)), ((13, 17), (32, 64))])
+def test_pallas_ce_matches_reference(hin, hout):
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, *hin, 19).astype(np.float32))
+    labels = rng.randint(0, 19, (2, *hout))
+    labels[0, :5] = 255
+    labels = jnp.asarray(labels)
+    ours = upsampled_ce_loss(logits, labels, hout, 255)
+    ref = _ref_loss(logits, labels, hout)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_pallas_ce_grad_matches_reference():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 9, 9, 7).astype(np.float32))
+    labels = rng.randint(0, 7, (2, 32, 32))
+    labels[1, -4:] = 255
+    labels = jnp.asarray(labels)
+    g_ours = jax.grad(lambda l: upsampled_ce_loss(l, labels, (32, 32), 255))(logits)
+    g_ref = jax.grad(lambda l: _ref_loss(l, labels, (32, 32)))(logits)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_ce_bf16_logits():
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(1, 9, 9, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (1, 32, 32)))
+    exact = float(upsampled_ce_loss(logits, labels, (32, 32), 255))
+    lo = float(upsampled_ce_loss(logits.astype(jnp.bfloat16), labels, (32, 32), 255))
+    assert abs(exact - lo) / abs(exact) < 2e-2
+    g = jax.grad(lambda l: upsampled_ce_loss(l, labels, (32, 32), 255))(
+        logits.astype(jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16 and np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_pallas_ce_all_ignored():
+    logits = jnp.zeros((1, 9, 9, 5))
+    labels = jnp.full((1, 32, 32), 255)
+    assert np.isfinite(float(upsampled_ce_loss(logits, labels, (32, 32), 255)))
