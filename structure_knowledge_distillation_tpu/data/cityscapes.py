@@ -19,10 +19,9 @@ pipeline works in minimal images.
 
 from __future__ import annotations
 
-import os
 import os.path as osp
 from dataclasses import dataclass
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 

@@ -7,7 +7,7 @@ TPU-native forms: NHWC, `ABN` sync batch-norm, channel-last concatenation.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

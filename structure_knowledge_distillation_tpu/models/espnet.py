@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from structure_knowledge_distillation_tpu.ops.batch_norm import ABN
-from structure_knowledge_distillation_tpu.ops.pooling import avg_pool_matrix
 
 __all__ = ["ESPNetC"]
 

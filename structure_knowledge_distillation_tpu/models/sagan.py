@@ -14,7 +14,7 @@ small for a hand-rolled kernel to beat the fused XLA path).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
