@@ -39,12 +39,19 @@ def main(argv=None):
         sd = ckpt_io.load_torch_state_dict(cfg.resume_from)
         variables = ckpt_io.import_torch_respspnet(sd, variables)
 
-    ds = CityscapesTestDataset(cfg.data_dir, cfg.data_list, crop_size=(1024, 2048))
+    if cfg.data_set == "voc":
+        from structure_knowledge_distillation_tpu.data import VOCTestDataset
+
+        ds = VOCTestDataset(cfg.data_dir, cfg.data_list, crop_size=(505, 505))
+    else:
+        ds = CityscapesTestDataset(cfg.data_dir, cfg.data_list, crop_size=(1024, 2048))
     loader = batch_iterator(ds, 1, shuffle=False, drop_last=False)
+    out_size = (505, 505) if cfg.data_set == "voc" else (1024, 2048)
     evaluate_main(
-        model, variables, loader, cfg.classes_num, out_size=(1024, 2048),
+        model, variables, loader, cfg.classes_num, out_size=out_size,
         eval_type="test", output_dir=cfg.output_dir, whole=cfg.whole,
         scales=cfg.scales, flip=cfg.flip,
+        remap_train_ids=cfg.data_set != "voc",
     )
     log.info("wrote submission PNGs to %s", cfg.output_dir)
 

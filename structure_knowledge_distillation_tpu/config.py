@@ -198,10 +198,12 @@ class TestConfig:
     whole: bool = True          # whole-image vs sliding-tile inference
     flip: bool = False          # flip-average
     scales: Tuple[float, ...] = (1.0,)  # multi-scale averaging
+    data_set: str = "cityscapes"  # cityscapes | voc
 
     @classmethod
     def from_args(cls, argv: Optional[list] = None) -> "TestConfig":
         p = argparse.ArgumentParser(description="knowledge-distillation test (TPU)")
+        p.add_argument("--data-set", default=cls.data_set, type=str)
         p.add_argument("--data-dir", default="", type=str)
         p.add_argument("--data-list", default=cls.data_list, type=str)
         p.add_argument("--resume-from", default="", type=str)

@@ -154,6 +154,7 @@ def evaluate_main(
     scales: Iterable[float] = (1.0,),
     flip: bool = False,
     ignore_label: int = 255,
+    remap_train_ids: bool = True,
 ):
     """Returns (mean_IU, IU_array) for 'val'; writes PNGs if output_dir set."""
     predictor = make_predictor(model, out_size)
@@ -178,7 +179,8 @@ def evaluate_main(
             from structure_knowledge_distillation_tpu.data.cityscapes import trainid2id
 
             os.makedirs(output_dir, exist_ok=True)
-            out = trainid2id(seg_pred) if eval_type == "test" else seg_pred
+            out = (trainid2id(seg_pred)
+                   if eval_type == "test" and remap_train_ids else seg_pred)
             im = PILImage.fromarray(out)
             im.putpalette(get_palette(256))
             im.save(os.path.join(output_dir, f"{name[0]}.png"))

@@ -234,3 +234,41 @@ def test_kd_trainer_fit_and_eval(tmp_path):
     snaps = list((tmp_path / "snap").glob("*.msgpack"))
     assert snaps, "checkpoint written on eval"
     assert (tmp_path / "log" / "scalars.jsonl").exists()
+
+
+def test_tensor_parallel_invariance():
+    """dp=2 × tp=2 sharded step == unsharded step (teacher wide convs sharded
+    on the model axis; XLA inserts the collectives)."""
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh, shard_state,
+    )
+
+    cfg = make_cfg(batch_size=2, input_size=(128, 128), ho=False)
+    teacher = TinyNet(width=256)  # wide enough to trigger the TP rule
+    student = TinyNet(width=16)
+    disc = Discriminator(preprocess_mode=1, image_size=33, conv_dim=16)
+    key = jax.random.PRNGKey(3)
+    images = jax.random.normal(key, (2, 128, 128, 3), jnp.float32)
+    labels = jax.random.randint(key, (2, 128, 128), 0, CLASSES)
+    t_vars = teacher.init(key, images, train=False)
+    s_vars = student.init(key, images, train=False)
+    d_vars = disc.init(key, jnp.zeros((2, 33, 33, CLASSES)), train=False)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    state = create_train_state(jax.random.PRNGKey(7), t_vars, s_vars, d_vars, g_tx, d_tx)
+    step = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+
+    ref_state, ref_metrics = jax.jit(step)(state, images, labels)
+
+    mesh = make_mesh(num_data=2, num_model=2)
+    sh_state = shard_state(state, mesh, tp_teacher=True)
+    # the TP rule must actually shard something
+    from structure_knowledge_distillation_tpu.parallel import param_shardings
+    specs = jax.tree.leaves(param_shardings(state.teacher_params, mesh))
+    assert any("model" in str(s.spec) for s in specs)
+    images_sh = jax.device_put(images, batch_sharding(mesh))
+    labels_sh = jax.device_put(labels, batch_sharding(mesh))
+    _, metrics = jax.jit(step)(sh_state, images_sh, labels_sh)
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
+                                   rtol=2e-3, atol=1e-5), k
