@@ -121,6 +121,8 @@ def main(argv=None):
     train_ds, val_ds = build_datasets(cfg)
     teacher_vars, student_vars, d_vars = load_initial_variables(cfg)
     trainer = KDTrainer(cfg, teacher_vars, student_vars, d_vars)
+    if cfg.S_resume:
+        trainer.try_resume()
 
     train_iter = device_prefetch(
         batch_iterator(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed),

@@ -107,6 +107,29 @@ class KDTrainer:
         self.g_sched = poly_schedule(cfg.lr_g, cfg.num_steps, cfg.power)
         self.d_sched = poly_schedule(cfg.lr_d, cfg.num_steps, cfg.power)
 
+    # ----------------------------------------------------------------- resume
+    @property
+    def _orbax_dir(self) -> str:
+        return os.path.join(self.cfg.snapshot_dir, "orbax")
+
+    def try_resume(self) -> int:
+        """Restore the newest async checkpoint (crash/elastic recovery —
+        the reference could only resume from explicit snapshots,
+        utils/utils.py:108-127). Returns the restored step (0 if none)."""
+        from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
+
+        if not os.path.isdir(self._orbax_dir):
+            return 0
+        restored, step = ckpt.restore_latest(self._orbax_dir, self.state)
+        if restored is None:
+            return 0
+        self.state = restored
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+        self.start_step = int(step)
+        log.info("resumed from step %d (%s)", step, self._orbax_dir)
+        return int(step)
+
     # ------------------------------------------------------------------ train
     def fit(self, train_iter: Iterable, val_loader: Optional[Iterable] = None,
             eval_out_size=(1024, 2048)):
@@ -120,7 +143,8 @@ class KDTrainer:
             writer = MetricsWriter(cfg.log_path)
         profile_dir = getattr(cfg, "profile_dir", "")
         profile_start = 10
-        for step_idx, batch in enumerate(train_iter, cfg.last_step + 1):
+        first_step = getattr(self, "start_step", cfg.last_step) + 1
+        for step_idx, batch in enumerate(train_iter, first_step):
             if profile_dir and step_idx == profile_start:
                 jax.profiler.start_trace(profile_dir)
             images, labels = batch[0], batch[1]
@@ -187,4 +211,6 @@ class KDTrainer:
         os.makedirs(self.cfg.snapshot_dir, exist_ok=True)
         path = os.path.join(self.cfg.snapshot_dir, f"CS_scenes_{step}_{mean_iu}")
         ckpt.save_state(path, self.state, step=step, mean_iu=mean_iu)
+        # async step-indexed checkpoint for auto-resume (try_resume)
+        ckpt.save_state_async(self._orbax_dir, self.state, step=step)
         return path

@@ -272,3 +272,37 @@ def test_tensor_parallel_invariance():
     for k in ref_metrics:
         np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
                                    rtol=2e-3, atol=1e-5), k
+
+
+def test_trainer_auto_resume(tmp_path):
+    """Crash-recovery: a new trainer resumes from the latest async checkpoint
+    and continues from the saved step."""
+    from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
+    from structure_knowledge_distillation_tpu.data import batch_iterator
+    from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(128, 128), num_steps=2,
+        teacher_layers=(1, 1, 1, 1), ho=False, compute_dtype="float32",
+        snapshot_dir=str(tmp_path / "snap"), log_path="", log_every=1,
+        eval_every=2, seed=3,
+    )
+    trainer = KDTrainer(cfg)
+    train_ds = SyntheticSegDataset(length=4, crop_size=(128, 128))
+    val_ds = SyntheticSegDataset(length=1, crop_size=(128, 128), seed=9)
+    trainer.fit(batch_iterator(train_ds, 2, shuffle=False),
+                batch_iterator(val_ds, 1, shuffle=False, drop_last=False),
+                eval_out_size=(128, 128))
+    ckpt.wait_for_saves()
+
+    trainer2 = KDTrainer(cfg)  # fresh process stand-in
+    step = trainer2.try_resume()
+    assert step == 2
+    import numpy as np
+    for a, b in zip(jax.tree.leaves(trainer.state.student_params),
+                    jax.tree.leaves(trainer2.state.student_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # continues past the restored step
+    trainer2.fit(batch_iterator(train_ds, 2, shuffle=False, seed=1))
+    assert int(trainer2.state.step) > 2
