@@ -39,20 +39,24 @@ log = logging.getLogger(__name__)
 
 # --------------------------------------------------------------------- orbax
 _async_mgr = None
+_async_mgr_dir = None
 
 
 def save_state_async(directory: str, state, step: int, keep: int = 3) -> None:
     """Async Orbax checkpointing (reference had none — crash = rerun; see
     SURVEY.md §5). Saves proceed in the background; call `wait_for_saves()`
     (or let the next save barrier) before reading the files."""
-    global _async_mgr
+    global _async_mgr, _async_mgr_dir
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
-    if _async_mgr is None or _async_mgr.directory != ocp.path.epath.Path(directory):
+    if _async_mgr is None or _async_mgr_dir != directory:
+        if _async_mgr is not None:
+            _async_mgr.wait_until_finished()
         options = ocp.CheckpointManagerOptions(max_to_keep=keep,
                                                enable_async_checkpointing=True)
         _async_mgr = ocp.CheckpointManager(directory, options=options)
+        _async_mgr_dir = directory
     _async_mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
 
 
