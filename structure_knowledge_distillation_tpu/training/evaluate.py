@@ -87,6 +87,28 @@ def make_predictor(model, out_size: Tuple[int, int]) -> Callable:
     return predict
 
 
+def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
+                     ignore_label: int = 255) -> Callable:
+    """Jitted forward + upsample + argmax + confusion, all on device.
+
+    The default val path (one scale, no flip) never moves the upsampled
+    logits to the host — only the uint8 prediction (for PNGs) and the (C,C)
+    confusion counts. Versus shipping (H,W,C) f32 logits per image this cuts
+    the device→host transfer ~80× and removes the host argmax.
+    """
+
+    @jax.jit
+    def run(variables, image: jnp.ndarray, label: jnp.ndarray):
+        preds = model.apply(variables, image, train=False)
+        logits = preds[0] if isinstance(preds, (tuple, list)) else preds
+        up = resize_bilinear_align_corners(logits.astype(jnp.float32), out_size)
+        pred = jnp.argmax(up[0], axis=-1).astype(jnp.uint8)
+        conf = confusion_matrix(pred, label, num_classes, ignore_label)
+        return pred, conf
+
+    return run
+
+
 def predict_sliding(
     predict_tile: Callable,
     image: np.ndarray,
@@ -157,8 +179,13 @@ def evaluate_main(
     remap_train_ids: bool = True,
 ):
     """Returns (mean_IU, IU_array) for 'val'; writes PNGs if output_dir set."""
-    predictor = make_predictor(model, out_size)
-    predict = lambda img: predictor(variables, jnp.asarray(img))
+    scales = tuple(scales)
+    fast_path = (whole and scales == (1.0,) and not flip and eval_type == "val")
+    if fast_path:
+        fast_fn = make_fast_val_fn(model, out_size, num_classes, ignore_label)
+    else:
+        predictor = make_predictor(model, out_size)
+        predict = lambda img: predictor(variables, jnp.asarray(img))
 
     conf = np.zeros((num_classes, num_classes), np.float64)
     for batch in loader:
@@ -167,6 +194,21 @@ def evaluate_main(
         else:
             image, size, name = batch
             label = None
+
+        if fast_path:
+            pred_dev, conf_dev = fast_fn(variables, jnp.asarray(image),
+                                         jnp.asarray(label[0]))
+            conf += np.asarray(conf_dev, np.float64)
+            if output_dir is not None:
+                seg_pred = np.asarray(pred_dev)
+                from PIL import Image as PILImage
+
+                os.makedirs(output_dir, exist_ok=True)
+                im = PILImage.fromarray(seg_pred)
+                im.putpalette(get_palette(256))
+                im.save(os.path.join(output_dir, f"{name[0]}.png"))
+            continue
+
         if whole:
             logits = predict_multiscale(predict, np.asarray(image), scales, flip)
         else:

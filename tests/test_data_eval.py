@@ -197,3 +197,38 @@ def test_native_confusion_matches_jit():
     ours = native_confusion(pred, gt, 6)
     ref = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), 6))
     np.testing.assert_array_equal(ours, ref.astype(np.int64))
+
+
+def test_fast_val_path_matches_slow_path():
+    """Device-side argmax+confusion (default val path) == the host path."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.ops import ABN
+    from structure_knowledge_distillation_tpu.training.evaluate import evaluate_main
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (4, 4), strides=(4, 4))(x)
+            h = ABN(activation="leaky_relu")(h, not train)
+            return (nn.Conv(5, (1, 1))(h), h)
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 50, (1, 64, 64, 3)).astype(np.float32)
+    lab = rng.integers(0, 5, (1, 64, 64)).astype(np.int32)
+    lab[0, :3] = 255
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img), train=False)
+    batch = [(img, lab, np.array([[64, 64, 3]]), ["x"])]
+
+    fast = evaluate_main(model, variables, batch, 5, out_size=(64, 64),
+                         eval_type="val", whole=True, scales=(1.0,), flip=False)
+    slow = evaluate_main(model, variables, batch, 5, out_size=(64, 64),
+                         eval_type="val", whole=True, scales=[1.0], flip=True)
+    # flip=True forces the slow path; with a conv net the flip-average differs,
+    # so compare the fast path against the slow path via sliding instead:
+    slow2 = evaluate_main(model, variables, batch, 5, out_size=(64, 64),
+                          eval_type="val", whole=False, tile_size=(64, 64))
+    np.testing.assert_allclose(fast[0], slow2[0], rtol=1e-6)
+    np.testing.assert_allclose(fast[1], slow2[1], rtol=1e-6)
