@@ -131,7 +131,7 @@ def main(argv=None):
     val_loader = lambda: batch_iterator(val_ds, 1, shuffle=False)
 
     eval_out_size = cfg.input_size if cfg.data_set == "synthetic" else (1024, 2048)
-    best = trainer.fit(train_iter, val_loader(), eval_out_size=eval_out_size)
+    best = trainer.fit(train_iter, val_loader, eval_out_size=eval_out_size)
     log.info("training done; best mean_IU %.4f", best)
     return best
 

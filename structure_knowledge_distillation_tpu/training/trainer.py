@@ -181,7 +181,9 @@ class KDTrainer:
                     writer.write(step_idx, scalars)
 
             if val_loader is not None and cfg.should_eval(step_idx):
-                mean_iu, iu_array = self.evaluate(val_loader, eval_out_size)
+                # accept a factory so repeated evals get a fresh iterator
+                loader = val_loader() if callable(val_loader) else val_loader
+                mean_iu, iu_array = self.evaluate(loader, eval_out_size)
                 log.info("[val] step %d mean_IU: %.6f IU_array: %s",
                          step_idx, mean_iu, np.array2string(iu_array, precision=4))
                 if writer is not None:
@@ -190,6 +192,9 @@ class KDTrainer:
                 best = max(best, mean_iu)
         if writer is not None:
             writer.close()
+        from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
+
+        ckpt.wait_for_saves()  # drain async checkpoints before returning
         return best
 
     # ------------------------------------------------------------------- eval

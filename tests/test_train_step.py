@@ -306,3 +306,40 @@ def test_trainer_auto_resume(tmp_path):
     # continues past the restored step
     trainer2.fit(batch_iterator(train_ds, 2, shuffle=False, seed=1))
     assert int(trainer2.state.step) > 2
+
+
+def test_repeated_evals_get_fresh_loader(tmp_path):
+    """fit() with a val-loader factory evaluates correctly more than once."""
+    from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
+    from structure_knowledge_distillation_tpu.data import batch_iterator
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(128, 128), num_steps=4,
+        teacher_layers=(1, 1, 1, 1), ho=False, pi=False, pa=False,
+        compute_dtype="float32",
+        snapshot_dir=str(tmp_path / "snap"), log_path="", log_every=10,
+        eval_every=2,  # evals at steps 2 and 4
+    )
+    trainer = KDTrainer(cfg)
+    train_ds = SyntheticSegDataset(length=8, crop_size=(128, 128))
+    val_ds = SyntheticSegDataset(length=1, crop_size=(128, 128), seed=9)
+    evals = []
+    orig_eval = trainer.evaluate
+
+    def spy(loader, out_size, whole=True):
+        r = orig_eval(loader, out_size, whole)
+        evals.append(r[0])
+        return r
+
+    trainer.evaluate = spy
+    trainer.fit(
+        batch_iterator(train_ds, 2, shuffle=False),
+        lambda: batch_iterator(val_ds, 1, shuffle=False, drop_last=False),
+        eval_out_size=(128, 128),
+    )
+    assert len(evals) == 2
+    # an exhausted loader would yield an all-zeros confusion -> mean_IU 0.0;
+    # both evals must have actually seen data (params differ between them,
+    # so the values differ — they just must both be real evaluations)
+    assert evals[0] > 0.0 and evals[1] > 0.0, evals
