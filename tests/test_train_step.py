@@ -343,3 +343,33 @@ def test_repeated_evals_get_fresh_loader(tmp_path):
     # both evals must have actually seen data (params differ between them,
     # so the values differ — they just must both be real evaluations)
     assert evals[0] > 0.0 and evals[1] > 0.0, evals
+
+
+def test_sharded_step_contains_collectives():
+    """The compiled dp-sharded step must contain cross-replica all-reduces
+    (gradient + BN-stat sync) — i.e., the mesh actually distributes work."""
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh, shard_state,
+    )
+
+    cfg = make_cfg(batch_size=8, input_size=(64, 64), ho=False, pi=False, pa=False)
+    teacher = TinyNet(width=32)
+    student = TinyNet(width=16)
+    disc = Discriminator(preprocess_mode=1, image_size=33, conv_dim=16)
+    key = jax.random.PRNGKey(0)
+    images = jax.random.normal(key, (8, 64, 64, 3), jnp.float32)
+    labels = jax.random.randint(key, (8, 64, 64), 0, CLASSES)
+    t_vars = teacher.init(key, images, train=False)
+    s_vars = student.init(key, images, train=False)
+    d_vars = disc.init(key, jnp.zeros((2, 33, 33, CLASSES)), train=False)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    state = create_train_state(key, t_vars, s_vars, d_vars, g_tx, d_tx)
+    mesh = make_mesh(num_data=8, num_model=1)
+    state = shard_state(state, mesh)
+    bs = batch_sharding(mesh)
+    step = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+    lowered = jax.jit(step).lower(
+        state, jax.device_put(images, bs), jax.device_put(labels, bs))
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "no cross-replica reduction in the sharded step"
