@@ -67,9 +67,16 @@ def criterion_dsn_fused(
     512² upsampled tensor is never materialized. Measured on v5e: takes the
     R18 student train step from 10.9 to 3.7 ms/img (the XLA one-hot
     gather/scatter it replaces was poisoning the whole backward's layout)."""
-    from structure_knowledge_distillation_tpu.ops.pallas_ce import upsampled_ce_loss
+    from structure_knowledge_distillation_tpu.ops.pallas_ce import (
+        kernel_vmem_bytes,
+        upsampled_ce_loss,
+    )
 
     h, w = labels.shape[1], labels.shape[2]
+    # guard the ~16 MB VMEM budget (very large label resolutions fall back)
+    budget = 12 * 1024 * 1024
+    if max(kernel_vmem_bytes(p.shape, (h, w)) for p in preds[:2]) > budget:
+        return criterion_dsn(preds, labels, ignore_index, dsn_weight)
     return (
         upsampled_ce_loss(preds[0], labels, (h, w), ignore_index)
         + dsn_weight * upsampled_ce_loss(preds[1], labels, (h, w), ignore_index)

@@ -46,6 +46,20 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def kernel_vmem_bytes(logits_shape, out_size) -> int:
+    """Approximate VMEM footprint of one grid step (inputs + scratch), for
+    callers to check against the ~16 MB budget before choosing this kernel."""
+    n, h_in, w_in, c = logits_shape
+    h_out, w_out = out_size
+    bp = _pick_block(h_out)
+    x_block = c * h_in * w_in * 4
+    aw = w_out * w_in * 4
+    ah = bp * h_in * 4
+    labels = bp * w_out * 4
+    scratch = c * bp * w_out * 4
+    return 2 * (x_block + aw + ah + labels) + scratch  # double-buffered inputs
+
+
 def _dot(a, b, contract=((1,), (0,))):
     return jax.lax.dot_general(a, b, (contract, ((), ())),
                                preferred_element_type=jnp.float32)

@@ -55,3 +55,18 @@ def test_pallas_ce_all_ignored():
     logits = jnp.zeros((1, 9, 9, 5))
     labels = jnp.full((1, 32, 32), 255)
     assert np.isfinite(float(upsampled_ce_loss(logits, labels, (32, 32), 255)))
+
+
+def test_vmem_guard_falls_back_for_huge_resolutions():
+    from structure_knowledge_distillation_tpu.ops.pallas_ce import kernel_vmem_bytes
+    from structure_knowledge_distillation_tpu.losses.task import criterion_dsn_fused
+
+    # flagship training shape fits comfortably
+    assert kernel_vmem_bytes((8, 65, 65, 19), (512, 512)) < 12 * 1024 * 1024
+    # full-res training would not; the fused criterion must still work (falls
+    # back to the XLA path) — tiny channel count keeps this test fast
+    logits = jnp.zeros((1, 129, 257, 19), jnp.float32)
+    labels = jnp.zeros((1, 1024, 2048), jnp.int32)
+    big = kernel_vmem_bytes(logits.shape, (1024, 2048))
+    loss = criterion_dsn_fused((logits, logits), labels)
+    assert np.isfinite(float(loss))
