@@ -11,6 +11,7 @@ With --data-set synthetic no files are needed (smoke/benchmark runs).
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 
@@ -80,6 +81,22 @@ def build_datasets(cfg: TrainConfig):
     raise ValueError(f"unknown data_set {cfg.data_set!r}")
 
 
+def _resolve_snapshot(path: str, names=("model_best.pth.tar", "model_best.msgpack")):
+    """An explicit checkpoint file, or `model_best.*` inside a directory
+    (reference resumes from `<ckpt_path>/model_best.pth.tar`,
+    utils/utils.py:109-110, :134-135)."""
+    if os.path.isfile(path):
+        return path
+    if os.path.isfile(path + ".msgpack"):
+        return path + ".msgpack"
+    if os.path.isdir(path):
+        for name in names:
+            cand = os.path.join(path, name)
+            if os.path.isfile(cand):
+                return cand
+    return None
+
+
 def load_initial_variables(cfg: TrainConfig, trainer_cls=KDTrainer):
     """Teacher (required for distillation) and optional student/D weights."""
     teacher_vars = student_vars = d_vars = None
@@ -94,6 +111,39 @@ def load_initial_variables(cfg: TrainConfig, trainer_cls=KDTrainer):
         template = model.init(jax.random.PRNGKey(0), dummy, train=False)
         teacher_vars = ckpt_io.import_torch_respspnet(sd, template)
         log.info("loaded teacher from %s", cfg.T_ckpt_path)
+    if cfg.D_resume:
+        # reference load_D_model (utils/utils.py:130-151): restore the GAN
+        # discriminator so a continued run keeps its adversarial state.
+        path = _resolve_snapshot(cfg.D_ckpt_path)
+        if path is None:
+            log.info("D_resume: no checkpoint at %r", cfg.D_ckpt_path)
+        else:
+            import jax.numpy as jnp
+
+            from structure_knowledge_distillation_tpu.models import Discriminator
+
+            disc = Discriminator(preprocess_mode=cfg.preprocess_gan_mode,
+                                 image_size=cfg.imsize_for_adv,
+                                 conv_dim=cfg.adv_conv_dim)
+            adv = cfg.imsize_for_adv
+            template = disc.init(
+                jax.random.PRNGKey(2),
+                jnp.zeros((1, adv, adv, cfg.classes_num), jnp.float32),
+                train=False)
+            if path.endswith((".pth", ".pth.tar", ".tar")):
+                sd, _ = ckpt_io.load_torch_checkpoint(path)
+                d_vars = ckpt_io.import_torch_discriminator(sd, template)
+            else:
+                from flax import serialization
+
+                with open(path, "rb") as f:
+                    raw = serialization.msgpack_restore(f.read())
+                if "d_params" in raw:  # a full KDTrainState snapshot
+                    raw = {"params": raw["d_params"],
+                           "batch_stats": raw.get("d_stats", {}),
+                           "spectral": raw.get("d_spectral", {})}
+                d_vars = serialization.from_state_dict(template, raw)
+            log.info("loaded discriminator from %s", path)
     if cfg.is_student_load_imgnet and cfg.student_pretrain_model_imgnet:
         import jax.numpy as jnp
 
@@ -122,7 +172,15 @@ def main(argv=None):
     teacher_vars, student_vars, d_vars = load_initial_variables(cfg)
     trainer = KDTrainer(cfg, teacher_vars, student_vars, d_vars)
     if cfg.S_resume:
-        trainer.try_resume()
+        # Explicit snapshot (S_ckpt_path file or its model_best.*) takes
+        # precedence, restoring step/best_mean_IU + the lr-schedule offset
+        # (reference utils/utils.py:108-127); otherwise auto-restore the
+        # newest async checkpoint in snapshot_dir.
+        snap = _resolve_snapshot(cfg.S_ckpt_path)
+        if snap is not None:
+            trainer.resume_from_snapshot(snap)
+        else:
+            trainer.try_resume()
 
     train_iter = device_prefetch(
         batch_iterator(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed),

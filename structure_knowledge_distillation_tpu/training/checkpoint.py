@@ -31,7 +31,11 @@ __all__ = [
     "map_torch_key",
     "import_torch_respspnet",
     "export_torch_respspnet",
+    "map_torch_discriminator_key",
+    "import_torch_discriminator",
+    "export_torch_discriminator",
     "load_torch_state_dict",
+    "load_torch_checkpoint",
 ]
 
 log = logging.getLogger(__name__)
@@ -131,6 +135,25 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             if hasattr(v, "detach")}
 
 
+def load_torch_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
+    """Load a .pth[.tar] and return (state_dict-as-numpy, meta).
+
+    meta carries the reference's rich-checkpoint fields when present —
+    step / epoch / best_mean_IU / IU_array (reference utils/utils.py:108-127
+    reads these from model_best.pth.tar to offset the resumed loop).
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    meta: dict = {}
+    if isinstance(obj, dict) and "state_dict" in obj:
+        meta = {k: v for k, v in obj.items() if k != "state_dict"}
+        obj = obj["state_dict"]
+    sd = {k: v.detach().cpu().numpy() for k, v in obj.items()
+          if hasattr(v, "detach")}
+    return sd, meta
+
+
 def _released_teacher_remap(key: str) -> str:
     """reference utils/utils.py:78-87: head.0.* -> pspmodule.*, head.1.* -> head.*"""
     if key.startswith("head.0."):
@@ -221,22 +244,22 @@ def map_torch_key(key: str) -> Optional[Tuple[str, Tuple[str, ...], bool]]:
     return None
 
 
-def import_torch_respspnet(state_dict: Dict[str, np.ndarray], variables: dict) -> dict:
-    """Merge a torch ResPSPNet state_dict into flax variables (params +
-    batch_stats). Unknown keys are skipped with a log line; shape mismatches
-    are skipped (intersection semantics, reference utils/utils.py:101)."""
+def _merge_torch(state_dict: Dict[str, np.ndarray], variables: dict,
+                 mapper, collections: Tuple[str, ...]) -> dict:
+    """Merge torch keys into flax variable collections via `mapper`
+    (intersection semantics with shape check, reference utils/utils.py:101)."""
     flat = {
         coll: traverse_util.flatten_dict(variables.get(coll, {}))
-        for coll in ("params", "batch_stats")
+        for coll in collections
     }
     loaded, skipped = 0, []
     for key, value in state_dict.items():
-        mapped = map_torch_key(key)
+        mapped = mapper(key)
         if mapped is None:
             skipped.append(key)
             continue
         coll, path, transpose = mapped
-        if path not in flat[coll]:
+        if coll not in flat or path not in flat[coll]:
             skipped.append(key)
             continue
         v = np.asarray(value)
@@ -252,9 +275,106 @@ def import_torch_respspnet(state_dict: Dict[str, np.ndarray], variables: dict) -
         log.info("torch import: %d loaded, %d skipped (%s%s)", loaded, len(skipped),
                  ", ".join(skipped[:5]), "…" if len(skipped) > 5 else "")
     out = dict(variables)
-    for coll in ("params", "batch_stats"):
+    for coll in collections:
         if variables.get(coll):
             out[coll] = traverse_util.unflatten_dict(flat[coll])
+    return out
+
+
+def import_torch_respspnet(state_dict: Dict[str, np.ndarray], variables: dict) -> dict:
+    """Merge a torch ResPSPNet state_dict into flax variables (params +
+    batch_stats). Unknown keys are skipped with a log line."""
+    return _merge_torch(state_dict, variables, map_torch_key,
+                        ("params", "batch_stats"))
+
+
+def map_torch_discriminator_key(key: str) -> Optional[Tuple[str, Tuple[str, ...], bool]]:
+    """torch SAGAN-Discriminator key -> (collection, flax path, transpose_conv).
+
+    The reference wraps each stride-2 conv in `SpectralNorm` (reference
+    networks/spectral.py:44-63), which deletes the conv's `weight` and
+    registers `weight_u` / `weight_v` / `weight_bar` on the wrapped module —
+    so checkpoint keys look like `l1.0.module.weight_bar`, `l1.0.module.bias`.
+    `weight_bar` is the UN-normalized weight (sigma is recomputed per
+    forward), matching our SNConv's stored `weight`; u/v land in the
+    `spectral` collection. `load_D_model` semantics: reference
+    utils/utils.py:130-151 (incl. the `module.` DataParallel prefix strip).
+    """
+    if key.startswith("module."):
+        key = key[len("module."):]
+    parts = key.split(".")
+    if parts[-1] == "num_batches_tracked":
+        return None
+    if parts[0] == "preprocess_additional" and len(parts) == 2:
+        leaf = parts[1]
+        if leaf in _BN_PARAM:
+            return ("params", ("preprocess_bn", _BN_PARAM[leaf][1]), False)
+        if leaf in _BN_STAT:
+            return ("batch_stats", ("preprocess_bn", _BN_STAT[leaf][1]), False)
+        return None
+    if parts[0] in ("l1", "l2", "l3", "l4") and len(parts) == 4 \
+            and parts[1] == "0" and parts[2] == "module":
+        leaf = parts[3]
+        if leaf == "weight_bar":
+            return ("params", (parts[0], "weight"), True)
+        if leaf == "weight_u":
+            return ("spectral", (parts[0], "u"), False)
+        if leaf == "weight_v":
+            return ("spectral", (parts[0], "v"), False)
+        if leaf == "bias":
+            return ("params", (parts[0], "bias"), False)
+        return None
+    if parts[0] == "last" and len(parts) == 3 and parts[1] == "0":
+        return ("params", ("last", "kernel" if parts[2] == "weight" else "bias"),
+                parts[2] == "weight")
+    if parts[0] in ("attn1", "attn2"):
+        if len(parts) == 2 and parts[1] == "gamma":
+            return ("params", (parts[0], "gamma"), False)
+        if len(parts) == 3 and parts[1] in ("query_conv", "key_conv", "value_conv"):
+            return ("params",
+                    (parts[0], parts[1], "kernel" if parts[2] == "weight" else "bias"),
+                    parts[2] == "weight")
+    return None
+
+
+def import_torch_discriminator(state_dict: Dict[str, np.ndarray],
+                               variables: dict) -> dict:
+    """Merge a torch Discriminator state_dict into flax variables
+    (params + batch_stats + spectral power-iteration state)."""
+    return _merge_torch(state_dict, variables, map_torch_discriminator_key,
+                        ("params", "batch_stats", "spectral"))
+
+
+def export_torch_discriminator(variables: dict) -> Dict[str, np.ndarray]:
+    """Inverse of `import_torch_discriminator` (interop + roundtrip tests)."""
+    out: Dict[str, np.ndarray] = {}
+    bn_leaf = {"weight": "weight", "bias": "bias",
+               "mean": "running_mean", "var": "running_var"}
+    for coll in ("params", "batch_stats", "spectral"):
+        for path, v in traverse_util.flatten_dict(variables.get(coll, {})).items():
+            v = np.asarray(v)
+            mod, leaf = path[:-1], path[-1]
+            if mod == ("preprocess_bn",):
+                out[f"preprocess_additional.{bn_leaf[leaf]}"] = v
+            elif mod and mod[0] in ("l1", "l2", "l3", "l4"):
+                if coll == "spectral":
+                    out[f"{mod[0]}.0.module.weight_{leaf}"] = v
+                elif leaf == "weight":
+                    out[f"{mod[0]}.0.module.weight_bar"] = np.transpose(v, (3, 2, 0, 1))
+                else:
+                    out[f"{mod[0]}.0.module.bias"] = v
+            elif mod == ("last",):
+                if leaf == "kernel":
+                    out["last.0.weight"] = np.transpose(v, (3, 2, 0, 1))
+                else:
+                    out["last.0.bias"] = v
+            elif mod and mod[0] in ("attn1", "attn2"):
+                if leaf == "gamma":
+                    out[f"{mod[0]}.gamma"] = v
+                elif leaf == "kernel":
+                    out[f"{mod[0]}.{mod[1]}.weight"] = np.transpose(v, (3, 2, 0, 1))
+                else:
+                    out[f"{mod[0]}.{mod[1]}.bias"] = v
     return out
 
 

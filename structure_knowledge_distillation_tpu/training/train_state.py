@@ -71,6 +71,14 @@ def create_train_state(
     d_tx: optax.GradientTransformation,
     last_step: int = 0,
 ) -> KDTrainState:
+    g_opt = g_tx.init(student_vars["params"])
+    d_opt = d_tx.init(d_vars.get("params", {}))
+    if last_step:
+        # Advance the schedule counters so a resumed run continues the poly lr
+        # exactly where the unbroken run would be (reference resumes offset
+        # the loop index the same way: utils/utils.py:112, train_and_eval.py:21).
+        g_opt = _set_schedule_count(g_opt, last_step)
+        d_opt = _set_schedule_count(d_opt, last_step)
     return KDTrainState(
         step=jnp.asarray(last_step, jnp.int32),
         rng=rng,
@@ -81,6 +89,19 @@ def create_train_state(
         d_params=d_vars.get("params", {}),
         d_stats=d_vars.get("batch_stats", {}),
         d_spectral=d_vars.get("spectral", {}),
-        g_opt=g_tx.init(student_vars["params"]),
-        d_opt=d_tx.init(d_vars.get("params", {})),
+        g_opt=g_opt,
+        d_opt=d_opt,
     )
+
+
+def _set_schedule_count(opt_state, count: int):
+    """Set every `count` field (ScaleByScheduleState) in an optax state."""
+    def is_count_state(node):
+        return hasattr(node, "_fields") and "count" in node._fields
+
+    def fix(node):
+        if is_count_state(node):
+            return node._replace(count=jnp.asarray(count, jnp.int32))
+        return node
+
+    return jax.tree.map(fix, opt_state, is_leaf=is_count_state)

@@ -130,6 +130,53 @@ class KDTrainer:
         log.info("resumed from step %d (%s)", step, self._orbax_dir)
         return int(step)
 
+    def resume_from_snapshot(self, path: str) -> int:
+        """Resume from an EXPLICIT snapshot, restoring step + best_mean_IU and
+        advancing the poly-lr schedule count (reference load_S_model reads
+        step/best_mean_IU from model_best.pth.tar and offsets the loop:
+        utils/utils.py:108-127, train_and_eval.py:21).
+
+        Accepts a native full-state `.msgpack` (optimizer state included) or a
+        torch `.pth[.tar]` student checkpoint (weights only — momentum buffers
+        restart, as in the reference whose snapshots are bare state_dicts,
+        kd_model.py:192)."""
+        from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
+        from structure_knowledge_distillation_tpu.training.train_state import (
+            _set_schedule_count,
+        )
+
+        best = 0.0
+        if path.endswith((".pth", ".pth.tar", ".tar")):
+            sd, meta = ckpt.load_torch_checkpoint(path)
+            variables = {"params": self.state.student_params,
+                         "batch_stats": self.state.student_stats}
+            merged = ckpt.import_torch_respspnet(sd, variables)
+            step = int(meta.get("step") or 0)
+            best = float(meta.get("best_mean_IU") or 0.0)
+            self.state = self.state.replace(
+                step=jnp.asarray(step, jnp.int32),
+                student_params=merged["params"],
+                student_stats=merged["batch_stats"],
+                g_opt=_set_schedule_count(self.state.g_opt, step),
+                d_opt=_set_schedule_count(self.state.d_opt, step),
+            )
+        else:
+            self.state = ckpt.restore_state(path, self.state)
+            meta_path = (path if path.endswith(".msgpack") else path + ".msgpack")
+            meta_path = meta_path[: -len(".msgpack")] + ".json"
+            meta = {}
+            if os.path.exists(meta_path):
+                meta = ckpt.load_meta(path)
+            step = int(meta.get("step", int(self.state.step)))
+            best = float(meta.get("mean_iu", 0.0))
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+        self.start_step = step
+        self.cfg.best_mean_IU = max(self.cfg.best_mean_IU, best)
+        log.info("resumed from snapshot %s (step %d, best_mean_IU %.4f)",
+                 path, step, best)
+        return step
+
     # ------------------------------------------------------------------ train
     def fit(self, train_iter: Iterable, val_loader: Optional[Iterable] = None,
             eval_out_size=(1024, 2048)):
@@ -188,7 +235,7 @@ class KDTrainer:
                          step_idx, mean_iu, np.array2string(iu_array, precision=4))
                 if writer is not None:
                     writer.write(step_idx, {"val_mean_iu": mean_iu})
-                self.save_checkpoint(step_idx, mean_iu)
+                self.save_checkpoint(step_idx, mean_iu, is_best=mean_iu > best)
                 best = max(best, mean_iu)
         if writer is not None:
             writer.close()
@@ -210,12 +257,19 @@ class KDTrainer:
         )
 
     # ------------------------------------------------------------------- ckpt
-    def save_checkpoint(self, step: int, mean_iu: float):
+    def save_checkpoint(self, step: int, mean_iu: float, is_best: bool = False):
         from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
 
         os.makedirs(self.cfg.snapshot_dir, exist_ok=True)
         path = os.path.join(self.cfg.snapshot_dir, f"CS_scenes_{step}_{mean_iu}")
         ckpt.save_state(path, self.state, step=step, mean_iu=mean_iu)
+        if is_best:
+            # model_best copy in S_ckpt_path, the path load_S_model-style
+            # resume reads (reference utils/utils.py:153-157, :108-110)
+            best_dir = self.cfg.S_ckpt_path or self.cfg.snapshot_dir
+            os.makedirs(best_dir, exist_ok=True)
+            ckpt.save_state(os.path.join(best_dir, "model_best"), self.state,
+                            step=step, mean_iu=mean_iu)
         # async step-indexed checkpoint for auto-resume (try_resume)
         ckpt.save_state_async(self._orbax_dir, self.state, step=step)
         return path

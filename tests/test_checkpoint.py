@@ -157,3 +157,166 @@ def test_load_student_variables_from_state_and_raw(tmp_path):
     got2 = ckpt.load_student_variables(str(raw_path), template)
     for a, b in zip(jax.tree.leaves(got2), jax.tree.leaves(variables)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------------------- discriminator
+def _tiny_disc_vars(conv_dim=8, imsize=65):
+    from structure_knowledge_distillation_tpu.models import Discriminator
+
+    model = Discriminator(preprocess_mode=1, image_size=imsize, conv_dim=conv_dim)
+    x = jnp.zeros((1, imsize, imsize, 19), jnp.float32)
+    return model, model.init(jax.random.PRNGKey(3), x, train=False)
+
+
+def test_map_torch_discriminator_key_schema():
+    # names documented from reference sagan_models.py:105-154 + spectral.py:44-63
+    m = ckpt.map_torch_discriminator_key
+    assert m("l1.0.module.weight_bar") == ("params", ("l1", "weight"), True)
+    assert m("l1.0.module.weight_u") == ("spectral", ("l1", "u"), False)
+    assert m("l4.0.module.weight_v") == ("spectral", ("l4", "v"), False)
+    assert m("l2.0.module.bias") == ("params", ("l2", "bias"), False)
+    assert m("last.0.weight") == ("params", ("last", "kernel"), True)
+    assert m("last.0.bias") == ("params", ("last", "bias"), False)
+    assert m("attn1.query_conv.weight") == (
+        "params", ("attn1", "query_conv", "kernel"), True)
+    assert m("attn2.gamma") == ("params", ("attn2", "gamma"), False)
+    assert m("preprocess_additional.weight") == (
+        "params", ("preprocess_bn", "weight"), False)
+    assert m("preprocess_additional.running_mean") == (
+        "batch_stats", ("preprocess_bn", "mean"), False)
+    assert m("preprocess_additional.num_batches_tracked") is None
+    # DataParallel prefix strip (reference utils/utils.py:139-143)
+    assert m("module.l1.0.module.weight_bar") == ("params", ("l1", "weight"), True)
+
+
+def test_discriminator_export_import_roundtrip():
+    model, variables = _tiny_disc_vars()
+    rng = np.random.RandomState(1)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)), variables)
+    sd = ckpt.export_torch_discriminator(variables)
+    # every torch key the reference emits is present
+    for want in ("l1.0.module.weight_bar", "l1.0.module.weight_u",
+                 "l4.0.module.bias", "last.0.weight", "attn1.value_conv.bias",
+                 "attn2.gamma", "preprocess_additional.running_var"):
+        assert want in sd, want
+    zeros = jax.tree.map(jnp.zeros_like, variables)
+    restored = ckpt.import_torch_discriminator(sd, zeros)
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(variables), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(restored), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(pa))
+
+
+def test_d_resume_wiring(tmp_path):
+    """cli.train.load_initial_variables consumes D_resume/D_ckpt_path
+    (reference load_D_model, utils/utils.py:130-151)."""
+    import torch
+
+    from structure_knowledge_distillation_tpu.cli.train import load_initial_variables
+    from structure_knowledge_distillation_tpu.config import TrainConfig
+
+    model, variables = _tiny_disc_vars(conv_dim=8)
+    rng = np.random.RandomState(2)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)), variables)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in ckpt.export_torch_discriminator(variables).items()}
+    d_dir = tmp_path / "D"
+    d_dir.mkdir()
+    torch.save({"state_dict": sd, "epoch": 1, "best_mean_IU": 0.5},
+               str(d_dir / "model_best.pth.tar"))
+
+    cfg = TrainConfig(data_set="synthetic", D_resume=True, D_ckpt_path=str(d_dir),
+                      adv_conv_dim=8, imsize_for_adv=65)
+    _, _, d_vars = load_initial_variables(cfg)
+    assert d_vars is not None
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(variables), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(d_vars), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(pa))
+
+
+def test_resume_schedule_offset():
+    """A last_step resume continues the poly lr exactly where the unbroken
+    run would be (reference utils/utils.py:112 + train_and_eval.py:21)."""
+    import optax
+
+    from structure_knowledge_distillation_tpu.training import (
+        create_train_state, make_sgd, poly_schedule,
+    )
+
+    lr, steps, power, j = 0.1, 20, 0.9, 7
+    tx = make_sgd(lr, steps, power, momentum=0.0, weight_decay=0.0)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+
+    # unbroken: j updates, then observe the (j+1)-th delta
+    opt = tx.init(params)
+    for _ in range(j):
+        _, opt = tx.update(grads, opt, params)
+    upd, _ = tx.update(grads, opt, params)
+
+    # resumed at last_step=j via create_train_state
+    state = create_train_state(
+        jax.random.PRNGKey(0), {"params": params}, {"params": params},
+        {"params": params}, tx, tx, last_step=j)
+    upd_resumed, _ = tx.update(grads, state.g_opt, params)
+
+    expect = -float(poly_schedule(lr, steps, power)(j))
+    np.testing.assert_allclose(np.asarray(upd["w"]), expect, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd_resumed["w"]),
+                               np.asarray(upd["w"]), rtol=1e-6)
+
+
+def _schedule_counts(opt_state):
+    found = []
+
+    def is_count(n):
+        return hasattr(n, "_fields") and "count" in n._fields
+
+    jax.tree.map(lambda n: found.append(int(n.count)) if is_count(n) else None,
+                 opt_state, is_leaf=is_count)
+    return found
+
+
+def test_trainer_resume_from_named_snapshot(tmp_path):
+    """KDTrainer.resume_from_snapshot: explicit torch/.msgpack snapshot restores
+    step + best_mean_IU and offsets the lr schedule (reference
+    utils/utils.py:108-127, train_and_eval.py:21)."""
+    import torch
+
+    from structure_knowledge_distillation_tpu.config import TrainConfig
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        data_set="synthetic", teacher_layers=(1, 1, 1, 1),
+        input_size=(256, 256), imsize_for_adv=33, adv_conv_dim=16,
+        batch_size=1, num_steps=50,
+    )
+    trainer = KDTrainer(cfg)
+
+    # --- torch .pth.tar with step/best_mean_IU meta
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          ckpt.export_torch_respspnet(
+              {"params": trainer.state.student_params,
+               "batch_stats": trainer.state.student_stats}).items()}
+    path = str(tmp_path / "model_best.pth.tar")
+    torch.save({"state_dict": sd, "step": 5, "best_mean_IU": 0.42}, path)
+    got = trainer.resume_from_snapshot(path)
+    assert got == 5 and trainer.start_step == 5
+    assert int(trainer.state.step) == 5
+    assert trainer.cfg.best_mean_IU == 0.42
+    assert _schedule_counts(trainer.state.g_opt) == [5]
+    assert _schedule_counts(trainer.state.d_opt) == [5]
+
+    # --- native full-state msgpack
+    p2 = ckpt.save_state(str(tmp_path / "snap"), trainer.state, step=9, mean_iu=0.6)
+    trainer2 = KDTrainer(cfg)
+    got2 = trainer2.resume_from_snapshot(p2)
+    assert got2 == 9 and trainer2.start_step == 9
+    assert _schedule_counts(trainer2.state.g_opt) == [5]  # restored verbatim

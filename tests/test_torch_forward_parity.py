@@ -131,3 +131,79 @@ def test_flax_forward_matches_torch_oracle(block, layers):
             t_out.detach().numpy().transpose(0, 2, 3, 1),
             rtol=1e-3, atol=1e-4, err_msg=name,
         )
+
+
+# -------------------------------------------------------------- discriminator
+def _l2n(v):
+    return v / (v.norm() + 1e-12)
+
+
+def _snconv(sd, x, prefix, stride=2, pad=1):
+    """reference networks/spectral.py:23-35: one power iteration from the
+    stored u, then w_bar / sigma."""
+    w = _t(sd, f"{prefix}.0.module.weight_bar")
+    u = _t(sd, f"{prefix}.0.module.weight_u")
+    b = _t(sd, f"{prefix}.0.module.bias")
+    h = w.shape[0]
+    wm = w.reshape(h, -1)
+    v = _l2n(torch.mv(wm.t(), u))
+    u = _l2n(torch.mv(wm, v))
+    sigma = u.dot(wm.mv(v))
+    return F.conv2d(x, w / sigma, b, stride=stride, padding=pad)
+
+
+def _attn(sd, x, prefix):
+    """reference networks/sagan_models.py:9-41."""
+    B, C, H, W = x.shape
+    conv1x1 = lambda t, name: F.conv2d(t, _t(sd, f"{prefix}.{name}.weight"),
+                                       _t(sd, f"{prefix}.{name}.bias"))
+    pq = conv1x1(x, "query_conv").view(B, -1, H * W).permute(0, 2, 1)
+    pk = conv1x1(x, "key_conv").view(B, -1, H * W)
+    attention = F.softmax(torch.bmm(pq, pk), dim=-1)
+    pv = conv1x1(x, "value_conv").view(B, -1, H * W)
+    out = torch.bmm(pv, attention.permute(0, 2, 1)).view(B, C, H, W)
+    return _t(sd, f"{prefix}.gamma") * out + x
+
+
+def torch_d_oracle(sd, x):
+    # preprocess mode 1: stock BatchNorm2d, eval stats (sagan_models.py:148)
+    w, b = _t(sd, "preprocess_additional.weight"), _t(sd, "preprocess_additional.bias")
+    m = _t(sd, "preprocess_additional.running_mean")
+    var = _t(sd, "preprocess_additional.running_var")
+    x = (x - m[None, :, None, None]) / torch.sqrt(var[None, :, None, None] + 1e-5)
+    x = x * w[None, :, None, None] + b[None, :, None, None]
+    out = F.leaky_relu(_snconv(sd, x, "l1"), 0.1)
+    out = F.leaky_relu(_snconv(sd, out, "l2"), 0.1)
+    out = F.leaky_relu(_snconv(sd, out, "l3"), 0.1)
+    out = _attn(sd, out, "attn1")
+    out = F.leaky_relu(_snconv(sd, out, "l4"), 0.1)
+    out = _attn(sd, out, "attn2")
+    return F.conv2d(out, _t(sd, "last.0.weight"), _t(sd, "last.0.bias"))
+
+
+def test_discriminator_forward_matches_torch_oracle():
+    from structure_knowledge_distillation_tpu.models import Discriminator
+
+    model = Discriminator(preprocess_mode=1, image_size=65, conv_dim=8)
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 65, 65, 19).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+
+    def randomize(tree, fn):
+        return jax.tree.map(lambda a: jnp.asarray(fn(a).astype(np.float32)), tree)
+
+    variables = {
+        "params": randomize(variables["params"], lambda a: rng.randn(*a.shape) * 0.2),
+        "batch_stats": {"preprocess_bn": {
+            "mean": jnp.asarray(rng.randn(19).astype(np.float32)),
+            "var": jnp.asarray((rng.rand(19) + 0.5).astype(np.float32)),
+        }},
+        "spectral": randomize(variables["spectral"], lambda a: rng.randn(*a.shape)),
+    }
+
+    ours, _, _ = model.apply(variables, jnp.asarray(x), train=False)
+    sd = ckpt.export_torch_discriminator(variables)
+    theirs = torch_d_oracle(sd, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.detach().numpy().transpose(0, 2, 3, 1),
+        rtol=1e-3, atol=1e-4)
