@@ -7,7 +7,12 @@ min_kept/factor² hardest valid pixels survive, then masks full-resolution
 pixels whose ground-truth-class probability exceeds the threshold.
 
 Here the same selection runs on-device with static shapes:
-  * downsampling is strided/bilinear via jnp (no host sync),
+  * the threshold search downsamples the full softmax tensor with
+    align-corners bilinear and the labels with align-corners nearest —
+    numerically identical to the reference's scipy `zoom(order=1)` /
+    `zoom(order=0)` calls (scipy maps output index i to input coordinate
+    i·(in−1)/(out−1) with out = round(in/factor); order 0 rounds via
+    floor(x+0.5)),
   * the k-th smallest valid probability comes from a sort (k is static),
   * the CE is a masked mean over kept pixels.
 As in the reference, if fewer than min_kept valid pixels exist the threshold
@@ -27,6 +32,14 @@ from structure_knowledge_distillation_tpu.ops.resize import resize_bilinear_alig
 __all__ = ["ohem_cross_entropy", "criterion_ohem_dsn"]
 
 
+def _zoom0_indices(n: int, out: int) -> jnp.ndarray:
+    """scipy `zoom(order=0)` source indices: round(i·(n−1)/(out−1))."""
+    if out <= 1:
+        return jnp.zeros((max(out, 1),), jnp.int32)
+    coords = jnp.arange(out, dtype=jnp.float32) * ((n - 1) / (out - 1))
+    return jnp.floor(coords + 0.5).astype(jnp.int32)
+
+
 def ohem_cross_entropy(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -43,16 +56,28 @@ def ohem_cross_entropy(
     safe_labels = jnp.where(valid_full, labels, 0)
     gt_prob = jnp.take_along_axis(probs, safe_labels[..., None], axis=-1)[..., 0]
 
-    # --- threshold search on the 1/factor grid (reference find_threshold)
-    ds_prob = gt_prob[:, ::factor, ::factor]
-    ds_valid = valid_full[:, ::factor, ::factor]
+    # --- threshold search on the 1/factor grid (reference find_threshold,
+    # utils/criterion.py:21-48): bilinear zoom of the softmax tensor +
+    # nearest zoom of the labels, both on scipy's align-corners grid.
+    out_h, out_w = int(round(h / factor)), int(round(w / factor))
+    ds_prob_full = resize_bilinear_align_corners(probs, (out_h, out_w))
+    row = _zoom0_indices(h, out_h)
+    col = _zoom0_indices(w, out_w)
+    ds_labels = labels[:, row][:, :, col]
+    ds_valid = ds_labels != ignore_index
+    ds_safe = jnp.where(ds_valid, ds_labels, 0)
+    ds_prob = jnp.take_along_axis(ds_prob_full, ds_safe[..., None], axis=-1)[..., 0]
+
     k = max(min_kept // (factor * factor), 0)
     num_valid = jnp.sum(ds_valid)
 
-    flat = jnp.where(ds_valid, ds_prob, jnp.inf).ravel()
-    k_eff = min(max(k, 1), flat.size) - 1
-    kth_value = jnp.sort(flat)[k_eff]
-    threshold = jnp.maximum(jnp.float32(thresh), kth_value)
+    if k > 0:
+        flat = jnp.where(ds_valid, ds_prob, jnp.inf).ravel()
+        kth_value = jnp.sort(flat)[min(k, flat.size) - 1]
+        threshold = jnp.maximum(jnp.float32(thresh), kth_value)
+    else:
+        # reference: min_kept == 0 leaves threshold at `thresh`
+        threshold = jnp.float32(thresh)
     threshold = jnp.where(k >= num_valid, jnp.float32(1.0), threshold)
 
     kept = valid_full & (gt_prob <= threshold)

@@ -191,3 +191,76 @@ def test_criterion_ohem_dsn_runs():
     labels = jnp.asarray(rng.randint(0, 5, (2, 36, 36)))
     loss = criterion_ohem_dsn((main, aux), labels, min_kept=100, thresh=0.5)
     assert np.isfinite(float(loss))
+
+
+def test_ohem_matches_scipy_zoom_oracle():
+    """Threshold search + final loss vs a literal translation of the
+    reference OhemCrossEntropy2d (utils/criterion.py:11-90), including the
+    scipy zoom(order=1)/zoom(order=0) 1/8 downsample."""
+    import scipy.ndimage as nd
+
+    from structure_knowledge_distillation_tpu.losses import ohem_cross_entropy
+
+    rng = np.random.RandomState(3)
+    n, h, w, c = 2, 32, 48, 6
+    factor, thresh, min_kept_full = 4, 0.3, 16 * 16  # -> k=16 on the ds grid
+    logits = rng.randn(n, h, w, c).astype(np.float32) * 2.0
+    labels = rng.randint(0, c, (n, h, w)).astype(np.int32)
+    labels[0, :4] = 255  # some ignored rows
+
+    # ---- oracle (NCHW numpy, reference semantics)
+    np_predict = np.transpose(
+        np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1)), (0, 3, 1, 2)
+    ).astype(np.float64)
+    np_target = labels.astype(np.float64)
+    predict = nd.zoom(np_predict, (1.0, 1.0, 1.0 / factor, 1.0 / factor), order=1)
+    target = nd.zoom(np_target, (1.0, 1.0 / factor, 1.0 / factor), order=0)
+    min_kept = min_kept_full // (factor * factor)
+    input_label = target.ravel().astype(np.int32)
+    cc = predict.shape[1]
+    input_prob = np.rollaxis(predict, 1).reshape((cc, -1))
+    valid_flag = input_label != 255
+    label = input_label[valid_flag]
+    num_valid = valid_flag.sum()
+    if min_kept >= num_valid:
+        threshold = 1.0
+    else:
+        prob = input_prob[:, valid_flag]
+        pred = prob[label, np.arange(len(label), dtype=np.int32)]
+        threshold = thresh
+        if min_kept > 0:
+            k_th = min(len(pred), min_kept) - 1
+            new_threshold = np.partition(pred, k_th)[k_th]
+            if new_threshold > thresh:
+                threshold = new_threshold
+    # full-res keep mask + mean CE over kept (CrossEntropyLoss ignore_index)
+    full_prob = np.transpose(np_predict, (0, 2, 3, 1))
+    gt_prob = np.take_along_axis(
+        full_prob, np.where(labels != 255, labels, 0)[..., None], axis=-1)[..., 0]
+    kept = (labels != 255) & (gt_prob <= threshold)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    ce = -np.take_along_axis(
+        logp, np.where(labels != 255, labels, 0)[..., None], axis=-1)[..., 0]
+    expected = ce[kept].mean()
+
+    got = ohem_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), ignore_index=255,
+        thresh=thresh, min_kept=min_kept_full, factor=factor)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+def test_ohem_min_kept_zero_keeps_thresh():
+    from structure_knowledge_distillation_tpu.losses import ohem_cross_entropy
+
+    rng = np.random.RandomState(4)
+    logits = rng.randn(1, 16, 16, 5).astype(np.float32)
+    labels = rng.randint(0, 5, (1, 16, 16)).astype(np.int32)
+    # min_kept=0: threshold stays at `thresh` (reference skips the search)
+    got = ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                             thresh=0.9, min_kept=0, factor=4)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    gt = np.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
+    kept = gt <= 0.9
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    ce = -np.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(float(got), ce[kept].mean(), rtol=1e-5)
