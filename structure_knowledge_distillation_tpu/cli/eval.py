@@ -17,27 +17,74 @@ import jax.numpy as jnp
 import numpy as np
 
 from structure_knowledge_distillation_tpu.config import str2bool
-from structure_knowledge_distillation_tpu.data import CityscapesDataset, batch_iterator
-from structure_knowledge_distillation_tpu.models import student_model
+from structure_knowledge_distillation_tpu.data import batch_iterator
 from structure_knowledge_distillation_tpu.training import checkpoint as ckpt_io
 from structure_knowledge_distillation_tpu.training.evaluate import evaluate_main
+
+# (eval resolution, default class count) per dataset — reference evaluate_main
+# serves cityscapes and VOC (networks/evaluate.py:156-206, input sizes
+# (1024,2048) / (505,505)); CamVid is the ESPNet transfer config.
+_DATASET_DEFAULTS = {
+    "cityscapes": ((1024, 2048), 19),
+    "cityscape": ((1024, 2048), 19),
+    "voc": ((505, 505), 21),
+    "camvid": ((360, 480), 11),
+}
+
+
+def _build_val_dataset(data_set: str, data_dir: str, data_list: str, size):
+    if data_set in ("cityscape", "cityscapes"):
+        from structure_knowledge_distillation_tpu.data import CityscapesDataset
+
+        return CityscapesDataset(data_dir, data_list, crop_size=size,
+                                 scale=False, mirror=False)
+    if data_set == "voc":
+        from structure_knowledge_distillation_tpu.data import VOCDataset
+
+        return VOCDataset(data_dir, data_list, crop_size=size,
+                          scale=False, mirror=False)
+    if data_set == "camvid":
+        from structure_knowledge_distillation_tpu.data import CamVidDataset
+
+        return CamVidDataset(data_dir, data_list, crop_size=size,
+                             scale=False, mirror=False)
+    raise ValueError(f"unknown data_set {data_set!r}")
+
+
+def build_student(arch: str, num_classes: int):
+    if arch == "espnet":
+        from structure_knowledge_distillation_tpu.models import ESPNetC
+
+        return ESPNetC(num_classes=num_classes)
+    from structure_knowledge_distillation_tpu.models import student_model
+
+    return student_model(num_classes=num_classes)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="val-set mIoU evaluation (TPU)")
+    p.add_argument("--data-set", default="cityscapes", type=str,
+                   choices=sorted(_DATASET_DEFAULTS))
     p.add_argument("--data-dir", default="", type=str)
     p.add_argument("--data-list", default="dataset/list/cityscapes/val.lst", type=str)
     p.add_argument("--resume-from", default="", type=str)
-    p.add_argument("--classes_num", default=19, type=int)
+    p.add_argument("--classes_num", default=0, type=int,
+                   help="0 = dataset default (19/21/11)")
+    p.add_argument("--student-arch", default="resnet18", type=str,
+                   choices=("resnet18", "espnet"))
     p.add_argument("--output-dir", default="", type=str)
     p.add_argument("--whole", default=True, type=str2bool)
     p.add_argument("--flip", default=False, type=str2bool)
     p.add_argument("--scales", default="1.0", type=str)
-    p.add_argument("--eval-size", default="1024,2048", type=str)
+    p.add_argument("--eval-size", default="", type=str,
+                   help="H,W; empty = dataset default")
     args = p.parse_args(argv)
-    out_h, out_w = map(int, args.eval_size.split(","))
+    default_size, default_classes = _DATASET_DEFAULTS[args.data_set]
+    out_h, out_w = (map(int, args.eval_size.split(","))
+                    if args.eval_size else default_size)
+    num_classes = args.classes_num or default_classes
 
-    model = student_model(num_classes=args.classes_num)
+    model = build_student(args.student_arch, num_classes)
     dummy = jnp.zeros((1, out_h, out_w, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
     if args.resume_from.endswith(".msgpack"):
@@ -46,11 +93,11 @@ def main(argv=None):
         sd = ckpt_io.load_torch_state_dict(args.resume_from)
         variables = ckpt_io.import_torch_respspnet(sd, variables)
 
-    ds = CityscapesDataset(args.data_dir, args.data_list, crop_size=(out_h, out_w),
-                           scale=False, mirror=False)
+    ds = _build_val_dataset(args.data_set, args.data_dir, args.data_list,
+                            (out_h, out_w))
     loader = batch_iterator(ds, 1, shuffle=False, drop_last=False)
     mean_iu, iu_array = evaluate_main(
-        model, variables, loader, args.classes_num, out_size=(out_h, out_w),
+        model, variables, loader, num_classes, out_size=(out_h, out_w),
         eval_type="val", output_dir=args.output_dir or None, whole=args.whole,
         scales=tuple(float(s) for s in args.scales.split(",")), flip=args.flip,
     )

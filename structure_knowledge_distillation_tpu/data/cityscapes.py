@@ -263,20 +263,26 @@ def batch_iterator(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = True,
+    epochs: int = 1,
 ) -> Iterator[tuple]:
-    """Simple host-side batcher producing stacked NHWC numpy batches."""
-    order = np.arange(len(dataset))
+    """Simple host-side batcher producing stacked NHWC numpy batches.
+
+    Like the reference's DataLoader (train_and_eval.py:13-17), the order is
+    reshuffled at the start of every epoch pass (epochs > 1 iterates the
+    dataset multiple times with fresh shuffles from one rng stream)."""
     rng = np.random.default_rng(seed)
-    if shuffle:
-        rng.shuffle(order)
-    n = len(order)
+    n = len(dataset)
     end = n - (n % batch_size) if drop_last else n
-    for start in range(0, end, batch_size):
-        idx = order[start:start + batch_size]
-        samples = [dataset[int(i)] for i in idx]
-        cols = list(zip(*samples))
-        stacked = tuple(
-            np.stack(col) if isinstance(col[0], np.ndarray) else list(col)
-            for col in cols
-        )
-        yield stacked
+    for _ in range(epochs):
+        order = np.arange(n)
+        if shuffle:
+            rng.shuffle(order)
+        for start in range(0, end, batch_size):
+            idx = order[start:start + batch_size]
+            samples = [dataset[int(i)] for i in idx]
+            cols = list(zip(*samples))
+            stacked = tuple(
+                np.stack(col) if isinstance(col[0], np.ndarray) else list(col)
+                for col in cols
+            )
+            yield stacked

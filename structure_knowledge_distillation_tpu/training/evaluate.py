@@ -98,11 +98,19 @@ def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
     """
 
     @jax.jit
-    def run(variables, image: jnp.ndarray, label: jnp.ndarray):
+    def run(variables, image: jnp.ndarray, label: jnp.ndarray,
+            h: jnp.ndarray, w: jnp.ndarray):
         preds = model.apply(variables, image, train=False)
         logits = preds[0] if isinstance(preds, (tuple, list)) else preds
         up = resize_bilinear_align_corners(logits.astype(jnp.float32), out_size)
         pred = jnp.argmax(up[0], axis=-1).astype(jnp.uint8)
+        # crop-to-`size` equivalent (the slow path slices [:h, :w], reference
+        # evaluate.py:183-185): padded rows/cols are forced to ignore so any
+        # padding convention — not just ignore-padded labels — stays out of
+        # the confusion matrix. Static shapes; h/w are device scalars.
+        in_bounds = (jnp.arange(out_size[0])[:, None] < h) & (
+            jnp.arange(out_size[1])[None, :] < w)
+        label = jnp.where(in_bounds, label, ignore_label)
         conf = confusion_matrix(pred, label, num_classes, ignore_label)
         return pred, conf
 
@@ -196,8 +204,10 @@ def evaluate_main(
             label = None
 
         if fast_path:
+            h, w = int(size[0][0]), int(size[0][1])
             pred_dev, conf_dev = fast_fn(variables, jnp.asarray(image),
-                                         jnp.asarray(label[0]))
+                                         jnp.asarray(label[0]),
+                                         jnp.int32(h), jnp.int32(w))
             conf += np.asarray(conf_dev, np.float64)
             if output_dir is not None:
                 seg_pred = np.asarray(pred_dev)

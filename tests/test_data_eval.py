@@ -232,3 +232,84 @@ def test_fast_val_path_matches_slow_path():
                           eval_type="val", whole=False, tile_size=(64, 64))
     np.testing.assert_allclose(fast[0], slow2[0], rtol=1e-6)
     np.testing.assert_allclose(fast[1], slow2[1], rtol=1e-6)
+
+
+def test_batch_iterator_reshuffles_each_epoch():
+    """Per-epoch reshuffle like the reference DataLoader
+    (train_and_eval.py:13-17)."""
+    ds = SyntheticSegDataset(length=8, crop_size=(8, 8), num_classes=5)
+    batches = list(batch_iterator(ds, 2, shuffle=True, seed=5, epochs=3))
+    assert len(batches) == 12
+    per_epoch = [tuple(n for b in batches[i * 4:(i + 1) * 4] for n in b[3])
+                 for i in range(3)]
+    # each epoch is a permutation of the full dataset...
+    for names in per_epoch:
+        assert len(set(names)) == 8
+    # ...and consecutive epochs use different orders
+    assert per_epoch[0] != per_epoch[1] or per_epoch[1] != per_epoch[2]
+
+
+def test_fast_val_path_crops_to_size():
+    """Padded rows/cols beyond `size` stay out of the confusion matrix even
+    when the padding is NOT the ignore label (the slow path slices [:h,:w],
+    reference evaluate.py:183-185)."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.training.evaluate import evaluate_main
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return (nn.Conv(5, (1, 1))(x), x)
+
+    model = Tiny()
+    rng = np.random.default_rng(2)
+    img = rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    lab = rng.integers(0, 5, (1, 32, 32)).astype(np.int32)
+    lab[0, 20:, :] = 3  # pad rows labeled with a VALID class, size says h=20
+    lab[0, :, 24:] = 2  # pad cols too, w=24
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img), train=False)
+    batch = [(img, lab, np.array([[20, 24, 3]]), ["x"])]
+
+    fast = evaluate_main(model, variables, batch, 5, out_size=(32, 32),
+                         eval_type="val", whole=True, scales=(1.0,), flip=False)
+    slow = evaluate_main(model, variables, batch, 5, out_size=(32, 32),
+                         eval_type="val", whole=False, tile_size=(32, 32))
+    np.testing.assert_allclose(fast[0], slow[0], rtol=1e-6)
+    np.testing.assert_allclose(fast[1], slow[1], rtol=1e-6)
+
+
+def test_make_voc_and_camvid_lists(tmp_path):
+    from structure_knowledge_distillation_tpu.data.lists import (
+        make_camvid_lists, make_voc_lists,
+    )
+
+    # --- VOC tree: ImageSets + Aug masks for 2 of 3 train ids
+    voc = tmp_path / "voc"
+    (voc / "ImageSets" / "Segmentation").mkdir(parents=True)
+    (voc / "SegmentationClassAug").mkdir()
+    (voc / "ImageSets" / "Segmentation" / "train.txt").write_text(
+        "2007_000032\n2007_000039\n2007_000063\n")
+    (voc / "ImageSets" / "Segmentation" / "val.txt").write_text("2007_000033\n")
+    for i in ("2007_000032", "2007_000039", "2007_000033"):
+        (voc / "SegmentationClassAug" / f"{i}.png").touch()
+    written = make_voc_lists(str(voc))
+    assert set(written) == {"train", "val"}
+    assert written["train"].endswith("train_aug.txt")
+    assert open(written["train"]).read().split() == ["2007_000032", "2007_000039"]
+    assert open(written["val"]).read().split() == ["2007_000033"]
+
+    # --- CamVid SegNet-style tree
+    cam = tmp_path / "camvid"
+    for split in ("train", "val"):
+        (cam / split).mkdir(parents=True)
+        (cam / (split + "annot")).mkdir()
+        for i in range(2):
+            (cam / split / f"{split}_{i}.png").touch()
+            (cam / (split + "annot") / f"{split}_{i}.png").touch()
+    written = make_camvid_lists(str(cam))
+    assert set(written) == {"train", "val"}
+    lines = open(written["train"]).read().splitlines()
+    assert lines == [f"train/train_{i}.png\ttrainannot/train_{i}.png"
+                     for i in range(2)]
