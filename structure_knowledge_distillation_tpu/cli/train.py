@@ -72,10 +72,12 @@ def build_datasets(cfg: TrainConfig):
             max_iters=cfg.num_steps * cfg.batch_size,
             crop_size=cfg.input_size, scale=cfg.random_scale,
             mirror=cfg.random_mirror, ignore_label=cfg.ignore_label, seed=cfg.seed,
+            cache_dir=cfg.decode_cache_dir or None,
         )
         val = CityscapesDataset(
             cfg.data_dir, cfg.val_data_list, crop_size=(1024, 2048),
             scale=False, mirror=False, ignore_label=cfg.ignore_label,
+            cache_dir=cfg.decode_cache_dir or None,
         )
         return train, val
     raise ValueError(f"unknown data_set {cfg.data_set!r}")
@@ -183,7 +185,8 @@ def main(argv=None):
             trainer.try_resume()
 
     train_iter = device_prefetch(
-        batch_iterator(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed),
+        batch_iterator(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                       num_workers=cfg.num_workers),
         sharding=trainer.batch_sharding,
     )
     val_loader = lambda: batch_iterator(val_ds, 1, shuffle=False)

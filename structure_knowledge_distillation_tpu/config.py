@@ -92,6 +92,8 @@ class TrainConfig:
     fused_ce: str = "auto"  # auto (Pallas kernel on TPU) | true | false
     num_data_shards: int = 1  # data-parallel mesh size
     num_model_shards: int = 1  # tensor-parallel mesh size (teacher/student channels)
+    decode_cache_dir: str = ""  # one-time PNG decode to raw .npy + mmap reads
+    num_workers: int = 0  # decode/augment worker processes (0 = in-process)
     seed: int = 0
     log_every: int = 10
     profile_dir: str = ""  # if set, jax.profiler traces steps [10, 10+profile_steps)
@@ -168,6 +170,8 @@ class TrainConfig:
         p.add_argument("--fused-ce", default=cls.fused_ce, type=str)
         p.add_argument("--num-data-shards", default=1, type=int)
         p.add_argument("--num-model-shards", default=1, type=int)
+        p.add_argument("--decode-cache-dir", default="", type=str)
+        p.add_argument("--num-workers", default=0, type=int)
         p.add_argument("--seed", default=0, type=int)
         p.add_argument("--log-every", default=10, type=int)
         p.add_argument("--eval-every", default=0, type=int)

@@ -148,6 +148,7 @@ class CityscapesDataset:
         ignore_label: int = 255,
         seed: int = 0,
         use_native: bool = True,
+        cache_dir: Optional[str] = None,
     ):
         self.records = _parse_lst(root, list_path, with_labels=True)
         if max_iters is not None and self.records:
@@ -158,6 +159,7 @@ class CityscapesDataset:
         self.scale = scale
         self.mirror = mirror
         self.ignore_label = ignore_label
+        self.cache_dir = cache_dir
         self.rng = np.random.default_rng(seed)
         if use_native:
             from structure_knowledge_distillation_tpu.data.native import get_native_lib
@@ -168,12 +170,18 @@ class CityscapesDataset:
     def __len__(self) -> int:
         return len(self.records)
 
+    def _read(self, path: str, gray: bool) -> np.ndarray:
+        from structure_knowledge_distillation_tpu.data.cache import cached_decode
+
+        return cached_decode(path, _imread_gray if gray else _imread_color_bgr,
+                             self.cache_dir)
+
     def __getitem__(self, index: int):
         rec = self.records[index]
-        image = _imread_color_bgr(rec.img)
+        image = self._read(rec.img, gray=False)
         if self.use_native:
             return self._getitem_native(rec, image)
-        label = id2trainid(_imread_gray(rec.label))
+        label = id2trainid(self._read(rec.label, gray=True))
         size = np.array(image.shape)
 
         if self.scale:
@@ -212,7 +220,7 @@ class CityscapesDataset:
         path so both produce the same geometry for a given seed."""
         from structure_knowledge_distillation_tpu.data.native import native_augment
 
-        raw_label = _imread_gray(rec.label)
+        raw_label = self._read(rec.label, gray=True)
         size = np.array(image.shape)
         f = 1.0
         if self.scale:
@@ -257,6 +265,26 @@ class CityscapesTestDataset:
         return np.ascontiguousarray(image, np.float32), size, rec.name
 
 
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(indices):
+    return [_WORKER_DATASET[int(i)] for i in indices]
+
+
+def _stack(samples) -> tuple:
+    cols = list(zip(*samples))
+    return tuple(
+        np.stack(col) if isinstance(col[0], np.ndarray) else list(col)
+        for col in cols
+    )
+
+
 def batch_iterator(
     dataset,
     batch_size: int,
@@ -264,25 +292,51 @@ def batch_iterator(
     seed: int = 0,
     drop_last: bool = True,
     epochs: int = 1,
+    num_workers: int = 0,
 ) -> Iterator[tuple]:
-    """Simple host-side batcher producing stacked NHWC numpy batches.
+    """Host-side batcher producing stacked NHWC numpy batches.
 
-    Like the reference's DataLoader (train_and_eval.py:13-17), the order is
+    Like the reference's DataLoader (train_and_eval.py:13-17): the order is
     reshuffled at the start of every epoch pass (epochs > 1 iterates the
-    dataset multiple times with fresh shuffles from one rng stream)."""
+    dataset multiple times with fresh shuffles from one rng stream), and
+    num_workers > 0 decodes/augments batches in worker processes (each worker
+    holds its own dataset copy + rng stream, so augmentation draws differ
+    from the serial order — exactly the torch-workers property). Up to 2
+    batches are in flight ahead of the consumer.
+    """
     rng = np.random.default_rng(seed)
     n = len(dataset)
     end = n - (n % batch_size) if drop_last else n
-    for _ in range(epochs):
-        order = np.arange(n)
-        if shuffle:
-            rng.shuffle(order)
-        for start in range(0, end, batch_size):
-            idx = order[start:start + batch_size]
-            samples = [dataset[int(i)] for i in idx]
-            cols = list(zip(*samples))
-            stacked = tuple(
-                np.stack(col) if isinstance(col[0], np.ndarray) else list(col)
-                for col in cols
-            )
-            yield stacked
+
+    def index_batches():
+        for _ in range(epochs):
+            order = np.arange(n)
+            if shuffle:
+                rng.shuffle(order)
+            for start in range(0, end, batch_size):
+                yield order[start:start + batch_size]
+
+    if num_workers <= 0:
+        for idx in index_batches():
+            yield _stack([dataset[int(i)] for i in idx])
+        return
+
+    import collections
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(num_workers, initializer=_worker_init,
+                             initargs=(dataset,)) as pool:
+        pending: "collections.deque" = collections.deque()
+        it = index_batches()
+        try:
+            for _ in range(2 * num_workers):
+                pending.append(pool.submit(_worker_fetch, next(it)))
+        except StopIteration:
+            it = iter(())
+        while pending:
+            samples = pending.popleft().result()
+            try:
+                pending.append(pool.submit(_worker_fetch, next(it)))
+            except StopIteration:
+                pass
+            yield _stack(samples)

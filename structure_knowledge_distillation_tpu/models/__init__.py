@@ -14,9 +14,11 @@ from structure_knowledge_distillation_tpu.models.abn_blocks import (
     IdentityResidualBlock,
 )
 from structure_knowledge_distillation_tpu.models.espnet import ESPNetC
+from structure_knowledge_distillation_tpu.models.fold import fold_bn_variables
 from structure_knowledge_distillation_tpu.models.sagan import Discriminator, SelfAttention
 
 __all__ = [
+    "fold_bn_variables",
     "BASIC",
     "BOTTLENECK",
     "BasicBlock",

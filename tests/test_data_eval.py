@@ -313,3 +313,36 @@ def test_make_voc_and_camvid_lists(tmp_path):
     lines = open(written["train"]).read().splitlines()
     assert lines == [f"train/train_{i}.png\ttrainannot/train_{i}.png"
                      for i in range(2)]
+
+
+def test_decode_cache_roundtrip(tmp_path):
+    """cache_dir: first read decodes + writes .npy, second read mmaps the
+    same pixels; augmented samples are identical for identical rng state."""
+    root, lst = _write_fake_cityscapes(tmp_path)
+    cache = str(tmp_path / "cache")
+    ds_a = CityscapesDataset(root, lst, crop_size=(32, 32), seed=7)
+    ds_b = CityscapesDataset(root, lst, crop_size=(32, 32), seed=7,
+                             cache_dir=cache)
+    a0 = ds_a[0]
+    b0 = ds_b[0]  # decodes + fills cache
+    np.testing.assert_array_equal(a0[0], b0[0])
+    np.testing.assert_array_equal(a0[1], b0[1])
+    import os as _os
+    assert len([f for f in _os.listdir(cache) if f.endswith(".npy")]) == 2
+    # fresh dataset, warm cache: mmap path produces the same sample
+    ds_c = CityscapesDataset(root, lst, crop_size=(32, 32), seed=7,
+                             cache_dir=cache)
+    c0 = ds_c[0]
+    np.testing.assert_array_equal(a0[0], c0[0])
+    np.testing.assert_array_equal(a0[1], c0[1])
+
+
+def test_batch_iterator_workers():
+    """num_workers > 0 yields complete, well-shaped batches (worker-process
+    decode; the torch-DataLoader counterpart, train_and_eval.py:13-15)."""
+    ds = SyntheticSegDataset(length=8, crop_size=(8, 8), num_classes=5)
+    batches = list(batch_iterator(ds, 2, shuffle=True, seed=1, num_workers=2))
+    assert len(batches) == 4
+    names = [n for b in batches for n in b[3]]
+    assert len(set(names)) == 8
+    assert batches[0][0].shape == (2, 8, 8, 3)

@@ -177,3 +177,79 @@ def test_param_count_util():
     from structure_knowledge_distillation_tpu.utils import count_params
 
     assert count_params({"a": jnp.ones((3, 4)), "b": {"c": jnp.ones((5,))}}) == 17
+
+
+def test_fold_bn_matches_unfolded_teacher():
+    """fold_bn=True + fold_bn_variables == the eval-mode ABN teacher
+    (frozen-teacher inference optimization; BN semantics from
+    reference libs/src/bn.cu:140-165 incl. gamma=|w|+eps)."""
+    import numpy as np
+
+    from structure_knowledge_distillation_tpu.models import (
+        ResPSPNet, fold_bn_variables,
+    )
+
+    model = ResPSPNet(block="bottleneck", layers=(1, 1, 1, 1), num_classes=7)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # randomize params + stats so the fold is actually exercised
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.1),
+        variables["params"])
+    stats = jax.tree.map(
+        lambda a: jnp.asarray((rng.rand(*a.shape) + 0.5).astype(np.float32)),
+        variables["batch_stats"])
+    variables = {"params": params, "batch_stats": stats}
+
+    ref = model.apply(variables, x, train=False)
+    folded_model = ResPSPNet(block="bottleneck", layers=(1, 1, 1, 1),
+                             num_classes=7, fold_bn=True)
+    folded_vars = fold_bn_variables(variables)
+    # the folded tree matches the folded model's own init structure
+    init_shape = jax.eval_shape(
+        lambda: folded_model.init(jax.random.PRNGKey(0), x, train=False))
+    assert jax.tree_util.tree_structure(init_shape["params"]) == \
+        jax.tree_util.tree_structure(folded_vars["params"])
+    got = folded_model.apply(folded_vars, x, train=False)
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=f"output {i}")
+
+
+def test_psp_factored_bottleneck_matches_dense():
+    """_PSPBottleneckConv (9-tap low-res decomposition, the TPU fast path)
+    == concat + dense 3×3 conv, values AND input grads."""
+    import numpy as np
+
+    from structure_knowledge_distillation_tpu.models import ResPSPNet
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    fast = ResPSPNet(block="basic", layers=(1, 1, 1, 1), num_classes=6)
+    dense = ResPSPNet(block="basic", layers=(1, 1, 1, 1), num_classes=6,
+                      dense_psp_bottleneck=True)
+    variables = fast.init(jax.random.PRNGKey(2), x, train=False)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.1),
+        variables["params"])
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    out_f = fast.apply(variables, x, train=False)
+    out_d = dense.apply(variables, x, train=False)
+    for i, (a, b) in enumerate(zip(out_f, out_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"out {i}")
+
+    def loss(m, v):
+        outs = m.apply(v, x, train=False)
+        return jnp.sum(outs[2].astype(jnp.float32) ** 2)
+
+    g_f = jax.grad(lambda v: loss(fast, v))(variables)["params"]
+    g_d = jax.grad(lambda v: loss(dense, v))(variables)["params"]
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_f), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g_d), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4, err_msg=str(pa))

@@ -213,3 +213,15 @@ def test_sync_bn_matches_global_batch():
         np.asarray(var_sync), np.asarray(state_ref["batch_stats"]["var"]),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_adaptive_pool_bf16_path_close_to_f32():
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 65, 65, 32).astype(np.float32)
+    from structure_knowledge_distillation_tpu.ops import adaptive_avg_pool_2d
+
+    for bins in (1, 2, 3, 6):
+        exact = adaptive_avg_pool_2d(jnp.asarray(x), (bins, bins))
+        fast = adaptive_avg_pool_2d(jnp.asarray(x, jnp.bfloat16), (bins, bins))
+        np.testing.assert_allclose(np.asarray(fast, np.float32),
+                                   np.asarray(exact), rtol=2e-2, atol=2e-2)
