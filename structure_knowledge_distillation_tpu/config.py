@@ -35,6 +35,10 @@ class TrainConfig:
     classes_num: int = 19
     ignore_label: int = 255
     input_size: Tuple[int, int] = (512, 512)
+    # NOTE: programmatic default True, but the CLI flags are store_true and so
+    # default False — exactly the reference's argparse semantics
+    # (train_options.py:34-37 + run_train_val.sh passes --random-mirror
+    # --random-scale explicitly). Scripted runs must pass the flags.
     random_scale: bool = True
     random_mirror: bool = True
 
@@ -53,6 +57,8 @@ class TrainConfig:
     batch_size: int = 8
     num_steps: int = 40000
     last_step: int = 0
+    # accepted for reference-CLI compatibility; the loop is step-based, so
+    # these only flow into checkpoint metadata (reference train_options.py)
     start_epoch: int = 0
     epoch_nums: int = 1
     lr_g: float = 1e-2
@@ -90,8 +96,9 @@ class TrainConfig:
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # bfloat16 | float32 for conv compute
     fused_ce: str = "auto"  # auto (Pallas kernel on TPU) | true | false
-    num_data_shards: int = 1  # data-parallel mesh size
+    num_data_shards: int = 1  # data-parallel mesh size (per slice)
     num_model_shards: int = 1  # tensor-parallel mesh size (teacher/student channels)
+    num_slices: int = 1  # TPU slices (dcn mesh axis; cross-slice data parallel)
     decode_cache_dir: str = ""  # one-time PNG decode to raw .npy + mmap reads
     num_workers: int = 0  # decode/augment worker processes (0 = in-process)
     seed: int = 0
@@ -170,6 +177,7 @@ class TrainConfig:
         p.add_argument("--fused-ce", default=cls.fused_ce, type=str)
         p.add_argument("--num-data-shards", default=1, type=int)
         p.add_argument("--num-model-shards", default=1, type=int)
+        p.add_argument("--num-slices", default=1, type=int)
         p.add_argument("--decode-cache-dir", default="", type=str)
         p.add_argument("--num-workers", default=0, type=int)
         p.add_argument("--seed", default=0, type=int)

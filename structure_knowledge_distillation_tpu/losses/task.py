@@ -70,14 +70,23 @@ def criterion_dsn_fused(
     from structure_knowledge_distillation_tpu.ops.pallas_ce import (
         kernel_vmem_bytes,
         upsampled_ce_loss,
+        upsampled_ce_loss_dsn,
     )
 
     h, w = labels.shape[1], labels.shape[2]
     # guard the ~16 MB VMEM budget (very large label resolutions fall back)
     budget = 12 * 1024 * 1024
-    if max(kernel_vmem_bytes(p.shape, (h, w)) for p in preds[:2]) > budget:
+    main, aux = preds[0], preds[1]
+    if main.shape == aux.shape:
+        # one 2C-channel pass: shared interpolation operators/labels/mask and
+        # a single fwd + single bwd launch for both heads
+        n, hh, ww, c = main.shape
+        if kernel_vmem_bytes((n, hh, ww, 2 * c), (h, w)) <= budget:
+            return upsampled_ce_loss_dsn(main, aux, labels, (h, w),
+                                         ignore_index, dsn_weight)
+    if max(kernel_vmem_bytes(p.shape, (h, w)) for p in (main, aux)) > budget:
         return criterion_dsn(preds, labels, ignore_index, dsn_weight)
     return (
-        upsampled_ce_loss(preds[0], labels, (h, w), ignore_index)
-        + dsn_weight * upsampled_ce_loss(preds[1], labels, (h, w), ignore_index)
+        upsampled_ce_loss(main, labels, (h, w), ignore_index)
+        + dsn_weight * upsampled_ce_loss(aux, labels, (h, w), ignore_index)
     )

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from structure_knowledge_distillation_tpu.ops.resize import interp_matrix_align_corners
 
-__all__ = ["upsampled_ce_loss"]
+__all__ = ["upsampled_ce_loss", "upsampled_ce_loss_dsn"]
 
 
 def _pick_block(h_out: int) -> int:
@@ -73,6 +73,18 @@ def _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c):
         up_ref[k] = _dot(tmp, aw, contract=((1,), (1,)))  # (BP, W) = tmp @ Awᵀ
 
 
+def _lse_and_picked(up: jnp.ndarray, labels: jnp.ndarray):
+    """(C,BP,W) logits block -> (lse, picked, exp, sum_exp), all (BP,W) except
+    exp (C,BP,W). Whole-scratch tensor ops (one VPU op per reduction) instead
+    of per-class unrolled loops — the unrolled form was issue-bound."""
+    m = jnp.max(up, axis=0)
+    e = jnp.exp(up - m[None])
+    s = jnp.sum(e, axis=0)
+    cls = jax.lax.broadcasted_iota(jnp.int32, up.shape, 0)
+    picked = jnp.sum(jnp.where(cls == labels[None], up, 0.0), axis=0)
+    return m + jnp.log(s), picked, e, s
+
+
 def _ce_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref, up_ref,
                    *, c: int, ignore: int):
     i = pl.program_id(0)
@@ -88,16 +100,7 @@ def _ce_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref, up_ref,
     labels = labels_ref[0]
     _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c)
 
-    m = up_ref[0]
-    for k in range(1, c):
-        m = jnp.maximum(m, up_ref[k])
-    s = jnp.zeros_like(m)
-    picked = jnp.zeros_like(m)
-    for k in range(c):
-        up_k = up_ref[k]
-        s += jnp.exp(up_k - m)
-        picked += jnp.where(labels == k, up_k, 0.0)
-    lse = m + jnp.log(s)
+    lse, picked, _, _ = _lse_and_picked(up_ref[:], labels)
     mask = (labels != ignore).astype(jnp.float32)
     loss_ref[0, 0] += jnp.sum((lse - picked) * mask)
     cnt_ref[0, 0] += jnp.sum(mask)
@@ -117,18 +120,14 @@ def _ce_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref, up_ref,
     scale = scale_ref[0, 0]  # g / count
     _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c)
 
-    m = up_ref[0]
-    for k in range(1, c):
-        m = jnp.maximum(m, up_ref[k])
-    s = jnp.zeros_like(m)
-    for k in range(c):
-        s += jnp.exp(up_ref[k] - m)
+    up = up_ref[:]
+    _, _, e, s = _lse_and_picked(up, labels)
+    cls = jax.lax.broadcasted_iota(jnp.int32, up.shape, 0)
+    onehot = (cls == labels[None]).astype(jnp.float32)
     mask_scale = jnp.where(labels != ignore, scale, 0.0)
+    up_ref[:] = (e / s[None] - onehot) * mask_scale[None]  # d_up, in place
     for k in range(c):
-        softmax_k = jnp.exp(up_ref[k] - m) / s
-        onehot_k = (labels == k).astype(jnp.float32)
-        d_up_k = (softmax_k - onehot_k) * mask_scale     # (BP, W)
-        d_tmp = _dot(d_up_k, aw)                          # (BP, Win)
+        d_tmp = _dot(up_ref[k], aw)                       # (BP, Win)
         # dX_k (Hin, Win) += Ah_blkᵀ @ d_tmp
         dx_ref[0, k] += _dot(ah_blk, d_tmp, contract=((0,), (0,))
                              ).astype(dx_ref.dtype)
@@ -219,3 +218,143 @@ def _bwd(out_size, ignore_index, residuals, g):
 
 
 upsampled_ce_loss.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------- dual (DSN)
+# One pass over the concatenated [main ‖ aux] channels (2C = 38 for
+# Cityscapes): the interpolation operators, labels, and ignore mask are
+# loaded/computed once for both heads, and fwd+bwd each run as a single
+# kernel launch instead of two (reference computes the two CE terms
+# separately, utils/criterion.py:179-188 — semantics identical).
+
+
+def _ce_dsn_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref,
+                       up_ref, *, c: int, ignore: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        loss_ref[0, 0] = jnp.float32(0.0)
+        loss_ref[0, 1] = jnp.float32(0.0)
+        cnt_ref[0, 0] = jnp.float32(0.0)
+
+    ah_blk = ah_ref[:]
+    aw = aw_ref[:]
+    labels = labels_ref[0]
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, 2 * c)
+
+    mask = (labels != ignore).astype(jnp.float32)
+    cnt_ref[0, 0] += jnp.sum(mask)
+    for head in range(2):
+        lse, picked, _, _ = _lse_and_picked(
+            up_ref[head * c:(head + 1) * c], labels)
+        loss_ref[0, head] += jnp.sum((lse - picked) * mask)
+
+
+def _ce_dsn_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref,
+                       up_ref, *, c: int, ignore: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    ah_blk = ah_ref[:]
+    aw = aw_ref[:]
+    labels = labels_ref[0]
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, 2 * c)
+
+    valid = labels != ignore
+    for head in range(2):
+        base = head * c
+        scale = scale_ref[0, head]  # g/count for main, g*dsn_weight/count aux
+        up = up_ref[base:base + c]
+        _, _, e, s = _lse_and_picked(up, labels)
+        cls = jax.lax.broadcasted_iota(jnp.int32, up.shape, 0)
+        onehot = (cls == labels[None]).astype(jnp.float32)
+        mask_scale = jnp.where(valid, scale, 0.0)
+        up_ref[base:base + c] = (e / s[None] - onehot) * mask_scale[None]
+    for k in range(2 * c):
+        d_tmp = _dot(up_ref[k], aw)
+        dx_ref[0, k] += _dot(ah_blk, d_tmp, contract=((0,), (0,))
+                             ).astype(dx_ref.dtype)
+
+
+def _run_dsn_fwd(x_cm, labels, out_size, ignore):
+    n, c2, h_in, w_in = x_cm.shape
+    c = c2 // 2
+    h_out, w_out = out_size
+    bp = _pick_block(h_out)
+    ah = interp_matrix_align_corners(h_in, h_out)
+    aw = interp_matrix_align_corners(w_in, w_out)
+    in_specs, scratch = _specs(n, h_in, w_in, c2, h_out, w_out, bp)
+    kernel = functools.partial(_ce_dsn_fwd_kernel, c=c, ignore=ignore)
+    loss_sums, cnt = pl.pallas_call(
+        kernel,
+        grid=(n, h_out // bp),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )(ah, aw, x_cm, labels.astype(jnp.int32))
+    return loss_sums[0], cnt[0, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def upsampled_ce_loss_dsn(logits, aux_logits, labels, out_size,
+                          ignore_index: int = 255, dsn_weight: float = 0.4):
+    """CE(main↑) + dsn_weight·CE(aux↑) in ONE kernel pass over 2C channels."""
+    x_cm = jnp.transpose(
+        jnp.concatenate([logits, aux_logits], axis=-1), (0, 3, 1, 2))
+    sums, cnt = _run_dsn_fwd(x_cm, labels, out_size, ignore_index)
+    cnt = jnp.maximum(cnt, 1.0)
+    return sums[0] / cnt + dsn_weight * (sums[1] / cnt)
+
+
+def _dsn_fwd(logits, aux_logits, labels, out_size, ignore_index, dsn_weight):
+    x_cm = jnp.transpose(
+        jnp.concatenate([logits, aux_logits], axis=-1), (0, 3, 1, 2))
+    sums, cnt = _run_dsn_fwd(x_cm, labels, out_size, ignore_index)
+    cnt = jnp.maximum(cnt, 1.0)
+    loss = sums[0] / cnt + dsn_weight * (sums[1] / cnt)
+    return loss, (x_cm, labels, cnt)
+
+
+def _dsn_bwd(out_size, ignore_index, dsn_weight, residuals, g):
+    x_cm, labels, cnt = residuals
+    n, c2, h_in, w_in = x_cm.shape
+    c = c2 // 2
+    h_out, w_out = out_size
+    bp = _pick_block(h_out)
+    ah = interp_matrix_align_corners(h_in, h_out)
+    aw = interp_matrix_align_corners(w_in, w_out)
+    gf = g.astype(jnp.float32) / cnt
+    scale = jnp.stack([gf, gf * dsn_weight]).reshape(1, 2)
+    in_specs, scratch = _specs(n, h_in, w_in, c2, h_out, w_out, bp)
+    in_specs = in_specs + [
+        pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    kernel = functools.partial(_ce_dsn_bwd_kernel, c=c, ignore=ignore_index)
+    dx_cm = pl.pallas_call(
+        kernel,
+        grid=(n, h_out // bp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, c2, h_in, w_in), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c2, h_in, w_in), x_cm.dtype),
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )(ah, aw, x_cm, labels.astype(jnp.int32), scale)
+    dx = jnp.transpose(dx_cm, (0, 2, 3, 1))
+    return dx[..., :c], dx[..., c:], None
+
+
+upsampled_ce_loss_dsn.defvjp(_dsn_fwd, _dsn_bwd)

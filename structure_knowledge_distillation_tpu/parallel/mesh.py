@@ -11,6 +11,12 @@ libs/functions.py) collapses into mesh + sharding annotations here:
   * `model` axis — optional tensor parallelism for the wide teacher: conv
     kernels with many output channels are sharded on their O dim; XLA
     partitions the convs and inserts the boundary collectives.
+  * `dcn` axis (num_slices > 1) — multi-slice data parallelism: the batch is
+    additionally sharded across TPU slices, so per-step gradient/BN
+    reductions decompose into fast ICI all-reduces within a slice plus one
+    small cross-slice all-reduce over DCN (XLA inserts the hierarchy from
+    the mesh topology; on real hardware the device order comes from
+    `mesh_utils.create_hybrid_device_mesh`).
 """
 
 from __future__ import annotations
@@ -28,19 +34,40 @@ def make_mesh(
     num_data: Optional[int] = None,
     num_model: int = 1,
     devices: Optional[list] = None,
+    num_slices: int = 1,
 ) -> Mesh:
+    """('data', 'model') mesh, or ('dcn', 'data', 'model') when num_slices > 1
+    (num_data is then the PER-SLICE data-parallel degree)."""
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
-        num_data = max(len(devices) // num_model, 1)
-    need = num_data * num_model
+        num_data = max(len(devices) // (num_model * num_slices), 1)
+    need = num_data * num_model * num_slices
     if need > len(devices):
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.asarray(devices[:need]).reshape(num_data, num_model)
-    return Mesh(arr, ("data", "model"))
+    if num_slices <= 1:
+        arr = np.asarray(devices[:need]).reshape(num_data, num_model)
+        return Mesh(arr, ("data", "model"))
+    try:
+        # Real multi-slice topology: lay ICI axes within a slice, DCN across.
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, num_data, num_model),
+            dcn_mesh_shape=(num_slices, 1, 1),
+            devices=devices[:need],
+        )
+    except Exception:
+        # Single-slice / virtual-device fallback (tests, CPU dry runs).
+        arr = np.asarray(devices[:need]).reshape(num_slices, num_data, num_model)
+    return Mesh(arr, ("dcn", "data", "model"))
+
+
+def _data_axes(mesh: Mesh):
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, P(_data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -93,8 +93,10 @@ class KDTrainer:
         self.state = create_train_state(rng, teacher_vars, student_vars, d_vars,
                                         self.g_tx, self.d_tx, last_step=cfg.last_step)
 
-        self.mesh = make_mesh(cfg.num_data_shards, cfg.num_model_shards) \
-            if cfg.num_data_shards * cfg.num_model_shards > 1 else None
+        num_slices = getattr(cfg, "num_slices", 1)
+        self.mesh = make_mesh(cfg.num_data_shards, cfg.num_model_shards,
+                              num_slices=num_slices) \
+            if cfg.num_data_shards * cfg.num_model_shards * num_slices > 1 else None
         if self.mesh is not None:
             self.state = shard_state(self.state, self.mesh)
             self.batch_sharding = batch_sharding(self.mesh)

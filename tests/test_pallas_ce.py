@@ -70,3 +70,46 @@ def test_vmem_guard_falls_back_for_huge_resolutions():
     big = kernel_vmem_bytes(logits.shape, (1024, 2048))
     loss = criterion_dsn_fused((logits, logits), labels)
     assert np.isfinite(float(loss))
+
+
+def test_pallas_ce_dsn_dual_matches_reference():
+    """The one-pass dual-head kernel == CE(main↑) + 0.4·CE(aux↑), values and
+    BOTH grads (reference CriterionDSN, utils/criterion.py:179-188)."""
+    from structure_knowledge_distillation_tpu.ops.pallas_ce import (
+        upsampled_ce_loss_dsn,
+    )
+
+    rng = np.random.RandomState(3)
+    main = jnp.asarray(rng.randn(2, 9, 9, 7).astype(np.float32))
+    aux = jnp.asarray(rng.randn(2, 9, 9, 7).astype(np.float32))
+    labels = rng.randint(0, 7, (2, 32, 32))
+    labels[0, :6] = 255
+    labels = jnp.asarray(labels)
+
+    def ref(m, a):
+        return _ref_loss(m, labels, (32, 32)) + 0.4 * _ref_loss(a, labels, (32, 32))
+
+    ours = upsampled_ce_loss_dsn(main, aux, labels, (32, 32), 255, 0.4)
+    np.testing.assert_allclose(float(ours), float(ref(main, aux)), rtol=1e-5)
+
+    g_ours = jax.grad(
+        lambda m, a: upsampled_ce_loss_dsn(m, a, labels, (32, 32), 255, 0.4),
+        argnums=(0, 1))(main, aux)
+    g_ref = jax.grad(ref, argnums=(0, 1))(main, aux)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(g_ours[i]), np.asarray(g_ref[i]),
+                                   rtol=1e-4, atol=1e-6, err_msg=f"head {i}")
+
+
+def test_criterion_dsn_fused_uses_dual_pass():
+    from structure_knowledge_distillation_tpu.losses.task import (
+        criterion_dsn, criterion_dsn_fused,
+    )
+
+    rng = np.random.RandomState(4)
+    main = jnp.asarray(rng.randn(1, 9, 9, 5).astype(np.float32))
+    aux = jnp.asarray(rng.randn(1, 9, 9, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (1, 32, 32)))
+    fused = criterion_dsn_fused((main, aux), labels)
+    exact = criterion_dsn((main, aux), labels)
+    np.testing.assert_allclose(float(fused), float(exact), rtol=1e-5)

@@ -373,3 +373,42 @@ def test_sharded_step_contains_collectives():
         state, jax.device_put(images, bs), jax.device_put(labels, bs))
     hlo = lowered.compile().as_text()
     assert "all-reduce" in hlo, "no cross-replica reduction in the sharded step"
+
+
+def test_multislice_dcn_invariance():
+    """One step over a ('dcn','data','model') = (2,2,2) mesh (multi-slice
+    data parallel + TP) == the unsharded step — the cross-slice reduction
+    hierarchy preserves the same numbers."""
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh, shard_state,
+    )
+
+    cfg = make_cfg(batch_size=4)
+    state, _, _, _ = build(cfg, batch=4)
+    teacher = TinyNet(width=32)
+    student = TinyNet(width=16)
+    disc = Discriminator(preprocess_mode=1, image_size=33, conv_dim=16)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    step = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+
+    key = jax.random.PRNGKey(9)
+    images = jax.random.normal(key, (4, *cfg.input_size, 3), jnp.float32)
+    labels = jax.random.randint(key, (4, *cfg.input_size), 0, CLASSES)
+    ref_state, ref_metrics = jax.jit(step)(state, images, labels)
+
+    mesh = make_mesh(num_data=2, num_model=2, num_slices=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    sh_state = shard_state(state, mesh)
+    bs = batch_sharding(mesh)
+    # the batch shards over dcn x data = 4 ways
+    assert bs.spec == __import__("jax").sharding.PartitionSpec(("dcn", "data"))
+    new_state, metrics = jax.jit(step)(
+        sh_state, jax.device_put(images, bs), jax.device_put(labels, bs))
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(new_state.student_stats),
+                    jax.tree.leaves(ref_state.student_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
