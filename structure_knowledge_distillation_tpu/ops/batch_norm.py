@@ -25,13 +25,14 @@ checkpoint import / numeric parity:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ABN", "BatchNorm2d", "abn_normalize"]
+__all__ = ["ABN", "BatchNorm2d", "abn_normalize", "abn_train"]
 
 
 def _apply_activation(x: jnp.ndarray, activation: str, slope: float) -> jnp.ndarray:
@@ -67,6 +68,122 @@ def abn_normalize(
     y = (x.astype(jnp.float32) - mean.astype(jnp.float32)) * scale + shift
     y = _apply_activation(y, activation, slope)
     return y.astype(x.dtype)
+
+
+def _sum_over_rows(x2d: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel sum of a (M, C) tensor as an MXU ones-contraction
+    (bf16 in, f32 accumulation) — one bandwidth-limited pass. f32 inputs
+    (CPU tests / f32 parity runs) contract at full precision."""
+    ones = jnp.ones((x2d.shape[0],), x2d.dtype)
+    prec = jax.lax.Precision.HIGHEST if x2d.dtype == jnp.float32 else None
+    return jax.lax.dot_general(ones, x2d, (((0,), (0,)), ((), ())),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+
+
+def _moments(x: jnp.ndarray, axis_name: Optional[str]):
+    c = x.shape[-1]
+    x2d = x.reshape(-1, c)
+    s1 = _sum_over_rows(x2d)
+    s2 = _sum_over_rows(x2d * x2d)
+    n = x2d.shape[0]
+    if axis_name is not None:
+        s1 = jax.lax.psum(s1, axis_name=axis_name)
+        s2 = jax.lax.psum(s2, axis_name=axis_name)
+        n = n * jax.lax.psum(1, axis_name=axis_name)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    return mean, var, n
+
+
+def _gamma(weight: jnp.ndarray, eps: float, abs_gamma: bool) -> jnp.ndarray:
+    w = weight.astype(jnp.float32)
+    return jnp.abs(w) + eps if abs_gamma else w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def abn_train(x, weight, bias, eps: float, activation: str, slope: float,
+              abs_gamma: bool, axis_name: Optional[str]):
+    """Training-mode activated BN over batch statistics, with the reference's
+    ANALYTIC backward as a custom VJP.
+
+    Why: autodiff of the inline formulation explodes into ~5 separate reduce
+    fusions per BN which XLA schedules poorly (profiled at ~14 ms of a 50 ms
+    step). This op pins the exact CUDA-kernel gradient of the reference
+    (libs/src/bn.cu:167-232 / libs/functions.py:253-294): two forward
+    moment reductions and two backward reductions (edz = Σdh,
+    eydz = Σ dh·ŷ), each as a single MXU ones-contraction, with
+
+        dx = γ·invstd·(dh − edz/n − ŷ·eydz/n),
+        dweight = sign(w)·eydz  (γ = |w|+eps),  dbias = edz,
+
+    and edz/eydz psum'd over `axis_name` exactly like the reference's
+    cross-replica backward (functions.py:263-280). Under pjit the
+    contractions partition over the sharded batch automatically.
+
+    Returns (z, mean, var); mean/var feed the module's running-stat update
+    and are treated as non-differentiable (their cotangents are ignored).
+    """
+    z, _, mean, var = _abn_train_fwd_impl(x, weight, bias, eps, activation,
+                                          slope, abs_gamma, axis_name)
+    return z, mean, var
+
+
+def _abn_train_fwd_impl(x, weight, bias, eps, activation, slope, abs_gamma,
+                        axis_name):
+    mean, var, n = _moments(x, axis_name)
+    inv_std = jax.lax.rsqrt(var + eps)
+    scale = _gamma(weight, eps, abs_gamma) * inv_std
+    shift = bias.astype(jnp.float32) - mean * scale
+    h = x.astype(jnp.float32) * scale + shift
+    z = _apply_activation(h, activation, slope).astype(x.dtype)
+    return z, n, mean, var
+
+
+def _abn_train_fwd(x, weight, bias, eps, activation, slope, abs_gamma,
+                   axis_name):
+    z, n, mean, var = _abn_train_fwd_impl(x, weight, bias, eps, activation,
+                                          slope, abs_gamma, axis_name)
+    return (z, mean, var), (x, weight, bias, mean, var, n)
+
+
+def _abn_train_bwd(eps, activation, slope, abs_gamma, axis_name, residuals, g):
+    dz = g[0]  # cotangents for mean/var (g[1], g[2]) are running-stat reads
+    x, weight, bias, mean, var, n = residuals
+    c = x.shape[-1]
+    inv_std = jax.lax.rsqrt(var + eps)
+    gamma = _gamma(weight, eps, abs_gamma)
+
+    xf = x.astype(jnp.float32)
+    y = (xf - mean) * inv_std  # ŷ, recomputed (cheap elementwise; fuses)
+    dzf = dz.astype(jnp.float32)
+    if activation == "none":
+        dh = dzf
+    else:
+        h = y * gamma + bias.astype(jnp.float32)  # pre-activation
+        if activation == "leaky_relu":
+            dh = jnp.where(h >= 0, dzf, dzf * slope)
+        elif activation == "elu":
+            dh = jnp.where(h >= 0, dzf, dzf * jnp.exp(h))
+        else:
+            raise ValueError(f"unknown activation {activation!r}")
+
+    compute_dtype = x.dtype
+    dh2d = dh.astype(compute_dtype).reshape(-1, c)
+    edz = _sum_over_rows(dh2d)
+    eydz = _sum_over_rows(dh2d * y.astype(compute_dtype).reshape(-1, c))
+    if axis_name is not None:
+        edz = jax.lax.psum(edz, axis_name=axis_name)
+        eydz = jax.lax.psum(eydz, axis_name=axis_name)
+
+    dx = (gamma * inv_std) * (dh - edz / n - y * (eydz / n))
+    dweight = (jnp.sign(weight) if abs_gamma else jnp.ones_like(weight)) * eydz
+    dbias = edz
+    return (dx.astype(x.dtype), dweight.astype(weight.dtype),
+            dbias.astype(weight.dtype))
+
+
+abn_train.defvjp(_abn_train_fwd, _abn_train_bwd)
 
 
 class ABN(nn.Module):
@@ -135,6 +252,20 @@ class ABN(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif self.affine:
+            # custom-VJP training core: analytic bn.cu backward, MXU moment
+            # reductions (see abn_train docstring)
+            z, mean, var = abn_train(x, weight, bias, self.eps,
+                                     self.activation, self.slope,
+                                     self.abs_gamma, self.axis_name)
+            if not self.is_initializing():
+                n = x.size // features
+                if self.axis_name is not None:
+                    n *= jax.lax.psum(1, axis_name=self.axis_name)
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * (var * bessel)
+            return z
         else:
             xf = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
