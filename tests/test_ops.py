@@ -225,3 +225,50 @@ def test_adaptive_pool_bf16_path_close_to_f32():
         fast = adaptive_avg_pool_2d(jnp.asarray(x, jnp.bfloat16), (bins, bins))
         np.testing.assert_allclose(np.asarray(fast, np.float32),
                                    np.asarray(exact), rtol=2e-2, atol=2e-2)
+
+
+def test_abn_train_custom_vjp_matches_autodiff():
+    """abn_train (analytic bn.cu backward, MXU reductions) == autodiff of the
+    inline formulation, for every activation and both gamma conventions."""
+    from structure_knowledge_distillation_tpu.ops.batch_norm import (
+        _apply_activation, abn_train,
+    )
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 5, 7, 6).astype(np.float32) * 2.0)
+    w = jnp.asarray(rng.randn(6).astype(np.float32))
+    b = jnp.asarray(rng.randn(6).astype(np.float32))
+    dz = jnp.asarray(rng.randn(2, 5, 7, 6).astype(np.float32))
+    eps = 1e-5
+
+    def inline(x, w, b, activation, slope, abs_gamma):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.maximum(jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+                          - jnp.square(mean), 0.0)
+        gamma = jnp.abs(w) + eps if abs_gamma else w
+        h = (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + b
+        return _apply_activation(h, activation, slope)
+
+    for activation in ("none", "leaky_relu", "elu"):
+        for abs_gamma in (True, False):
+            def loss_custom(x, w, b):
+                z, _, _ = abn_train(x, w, b, eps, activation, 0.01,
+                                    abs_gamma, None)
+                return jnp.sum(z * dz)
+
+            def loss_inline(x, w, b):
+                return jnp.sum(inline(x, w, b, activation, 0.01, abs_gamma) * dz)
+
+            g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(x, w, b)
+            g2 = jax.grad(loss_inline, argnums=(0, 1, 2))(x, w, b)
+            # fwd values too
+            z1, m1, v1 = abn_train(x, w, b, eps, activation, 0.01, abs_gamma, None)
+            np.testing.assert_allclose(
+                np.asarray(z1), np.asarray(inline(x, w, b, activation, 0.01,
+                                                  abs_gamma)),
+                rtol=1e-5, atol=1e-5)
+            for i, (a, c) in enumerate(zip(g1, g2)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4,
+                    err_msg=f"{activation} abs_gamma={abs_gamma} arg{i}")
