@@ -56,7 +56,7 @@ def kernel_vmem_bytes(logits_shape, out_size) -> int:
     aw = w_out * w_in * 4
     ah = bp * h_in * 4
     labels = bp * w_out * 4
-    scratch = c * bp * w_out * 4
+    scratch = c * bp * (w_out + w_in) * 4
     return 2 * (x_block + aw + ah + labels) + scratch  # double-buffered inputs
 
 
@@ -65,12 +65,25 @@ def _dot(a, b, contract=((1,), (0,))):
                                preferred_element_type=jnp.float32)
 
 
-def _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c):
-    """up_ref[k] = Ah_blk · X_k · Awᵀ for each class k (all 2-D matmuls)."""
+def _fill_up_scratch(ah_blk, aw, x_ref, up_ref, tmp_ref, c):
+    """up_ref[k] = Ah_blk · X_k · Awᵀ for each class k.
+
+    The cheap height contraction (BP·Hin·Win per class) stays a per-class
+    loop, but the dominant width contraction (BP·Win·W per class) is ONE
+    MXU matmul over all classes: (C·BP, Win) @ Awᵀ. The (C,BP,Win)↔
+    (C·BP,Win) reshapes are layout no-ops when BP is a multiple of the
+    8-row sublane tile (guaranteed by `_pick_block` for multiple-of-8
+    outputs); otherwise fall back to the per-class width loop."""
+    bp, w_in = tmp_ref.shape[1], tmp_ref.shape[2]
+    w_out = aw.shape[0]
     for k in range(c):
-        xk = x_ref[0, k].astype(jnp.float32)            # (Hin, Win)
-        tmp = _dot(ah_blk, xk)                           # (BP, Win)
-        up_ref[k] = _dot(tmp, aw, contract=((1,), (1,)))  # (BP, W) = tmp @ Awᵀ
+        tmp_ref[k] = _dot(ah_blk, x_ref[0, k].astype(jnp.float32))
+    if bp % 8 == 0:
+        up = _dot(tmp_ref[:].reshape(c * bp, w_in), aw, contract=((1,), (1,)))
+        up_ref[:] = up.reshape(c, bp, w_out)
+    else:
+        for k in range(c):
+            up_ref[k] = _dot(tmp_ref[k], aw, contract=((1,), (1,)))
 
 
 def _lse_and_picked(up: jnp.ndarray, labels: jnp.ndarray):
@@ -86,7 +99,7 @@ def _lse_and_picked(up: jnp.ndarray, labels: jnp.ndarray):
 
 
 def _ce_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref, up_ref,
-                   *, c: int, ignore: int):
+                   tmp_ref, *, c: int, ignore: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -98,7 +111,7 @@ def _ce_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref, up_ref,
     ah_blk = ah_ref[:]
     aw = aw_ref[:]
     labels = labels_ref[0]
-    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c)
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, tmp_ref, c)
 
     lse, picked, _, _ = _lse_and_picked(up_ref[:], labels)
     mask = (labels != ignore).astype(jnp.float32)
@@ -107,7 +120,7 @@ def _ce_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref, up_ref,
 
 
 def _ce_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref, up_ref,
-                   *, c: int, ignore: int):
+                   tmp_ref, *, c: int, ignore: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -118,7 +131,7 @@ def _ce_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref, up_ref,
     aw = aw_ref[:]
     labels = labels_ref[0]
     scale = scale_ref[0, 0]  # g / count
-    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, c)
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, tmp_ref, c)
 
     up = up_ref[:]
     _, _, e, s = _lse_and_picked(up, labels)
@@ -126,10 +139,23 @@ def _ce_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref, up_ref,
     onehot = (cls == labels[None]).astype(jnp.float32)
     mask_scale = jnp.where(labels != ignore, scale, 0.0)
     up_ref[:] = (e / s[None] - onehot) * mask_scale[None]  # d_up, in place
+    _accum_dx(ah_blk, aw, up_ref, dx_ref, tmp_ref, c)
+
+
+def _accum_dx(ah_blk, aw, up_ref, dx_ref, tmp_ref, c):
+    """dX_k (Hin, Win) += Ah_blkᵀ @ (d_up_k @ Aw), with the dominant W
+    contraction batched over classes as one (C·BP, W) @ Aw matmul (see
+    `_fill_up_scratch`)."""
+    bp, w_in = tmp_ref.shape[1], tmp_ref.shape[2]
+    w_out = aw.shape[0]
+    if bp % 8 == 0:
+        tmp_ref[:] = _dot(up_ref[:].reshape(c * bp, w_out), aw
+                          ).reshape(c, bp, w_in)
+    else:
+        for k in range(c):
+            tmp_ref[k] = _dot(up_ref[k], aw)
     for k in range(c):
-        d_tmp = _dot(up_ref[k], aw)                       # (BP, Win)
-        # dX_k (Hin, Win) += Ah_blkᵀ @ d_tmp
-        dx_ref[0, k] += _dot(ah_blk, d_tmp, contract=((0,), (0,))
+        dx_ref[0, k] += _dot(ah_blk, tmp_ref[k], contract=((0,), (0,))
                              ).astype(dx_ref.dtype)
 
 
@@ -142,7 +168,10 @@ def _specs(n, h_in, w_in, c, h_out, w_out, bp):
         pl.BlockSpec((1, bp, w_out), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
     ]
-    scratch = [pltpu.VMEM((c, bp, w_out), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((c, bp, w_out), jnp.float32),
+        pltpu.VMEM((c, bp, w_in), jnp.float32),
+    ]
     return in_specs, scratch
 
 
@@ -229,7 +258,7 @@ upsampled_ce_loss.defvjp(_fwd, _bwd)
 
 
 def _ce_dsn_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref,
-                       up_ref, *, c: int, ignore: int):
+                       up_ref, tmp_ref, *, c: int, ignore: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -242,7 +271,7 @@ def _ce_dsn_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref,
     ah_blk = ah_ref[:]
     aw = aw_ref[:]
     labels = labels_ref[0]
-    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, 2 * c)
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, tmp_ref, 2 * c)
 
     mask = (labels != ignore).astype(jnp.float32)
     cnt_ref[0, 0] += jnp.sum(mask)
@@ -253,7 +282,7 @@ def _ce_dsn_fwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, loss_ref, cnt_ref,
 
 
 def _ce_dsn_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref,
-                       up_ref, *, c: int, ignore: int):
+                       up_ref, tmp_ref, *, c: int, ignore: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -263,7 +292,7 @@ def _ce_dsn_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref,
     ah_blk = ah_ref[:]
     aw = aw_ref[:]
     labels = labels_ref[0]
-    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, 2 * c)
+    _fill_up_scratch(ah_blk, aw, x_ref, up_ref, tmp_ref, 2 * c)
 
     valid = labels != ignore
     for head in range(2):
@@ -275,10 +304,7 @@ def _ce_dsn_bwd_kernel(ah_ref, aw_ref, x_ref, labels_ref, scale_ref, dx_ref,
         onehot = (cls == labels[None]).astype(jnp.float32)
         mask_scale = jnp.where(valid, scale, 0.0)
         up_ref[base:base + c] = (e / s[None] - onehot) * mask_scale[None]
-    for k in range(2 * c):
-        d_tmp = _dot(up_ref[k], aw)
-        dx_ref[0, k] += _dot(ah_blk, d_tmp, contract=((0,), (0,))
-                             ).astype(dx_ref.dtype)
+    _accum_dx(ah_blk, aw, up_ref, dx_ref, tmp_ref, 2 * c)
 
 
 def _run_dsn_fwd(x_cm, labels, out_size, ignore):
