@@ -27,7 +27,7 @@ BASELINE_IMG_PER_SEC = 22.0
 def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
          steps: int = 10, compute_dtype: str = "bfloat16",
          pi: bool = True, pa: bool = True, ho: bool = True,
-         teacher_layers=(3, 4, 23, 3)) -> dict:
+         teacher_layers=(3, 4, 23, 3), unroll: int = 5) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +36,7 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
     from structure_knowledge_distillation_tpu.training import (
         create_train_state,
         make_sgd,
+        make_train_loop,
         make_train_step,
     )
 
@@ -72,10 +73,26 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
     d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
     state = create_train_state(key, t_vars, s_vars, d_vars, g_tx, d_tx)
 
-    step = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx),
-                   donate_argnums=(0,))
+    step_fn = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
 
     import numpy as np
+
+    # Device-side multi-step loop (lax.scan over `unroll` microbatches per
+    # dispatch) — amortizes the per-step launch overhead exactly the way a
+    # production infeed loop does. unroll=1 falls back to one dispatch/step.
+    if unroll > 1:
+        loop = jax.jit(make_train_loop(step_fn, unroll), donate_argnums=(0,))
+        images_k = jnp.broadcast_to(images, (unroll,) + images.shape)
+        labels_k = jnp.broadcast_to(labels, (unroll,) + labels.shape)
+
+        def step(state, images, labels):
+            new_state, metrics_k = loop(state, images_k, labels_k)
+            return new_state, {"g_loss": metrics_k["g_loss"][-1]}
+
+        steps = max(1, steps // unroll)
+        warmup = max(1, warmup // unroll)
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
 
     # NOTE: on the axon relay, block_until_ready does not force execution —
     # a value fetch does. Materialize a scalar to fence the timed region.
@@ -90,7 +107,7 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 3,
     dt = time.perf_counter() - t0
     assert np.isfinite(g_loss)
 
-    imgs_per_sec = batch_size * steps / dt
+    imgs_per_sec = batch_size * steps * max(unroll, 1) / dt
     n_chips = max(len(jax.devices()), 1)
     per_chip = imgs_per_sec / n_chips
     return {

@@ -48,8 +48,20 @@ def capture(out_dir: str, steps: int):
     g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
     d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
     state = create_train_state(key, t_vars, s_vars, d_vars, g_tx, d_tx)
-    step = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx),
-                   donate_argnums=(0,))
+    step_fn = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+    unroll = int(os.environ.get("PROFILE_UNROLL", "0"))
+    if unroll > 1:
+        from structure_knowledge_distillation_tpu.training import make_train_loop
+
+        loop = jax.jit(make_train_loop(step_fn, unroll), donate_argnums=(0,))
+        images_k = jnp.broadcast_to(images, (unroll,) + images.shape)
+        labels_k = jnp.broadcast_to(labels, (unroll,) + labels.shape)
+
+        def step(state, images, labels):
+            st, mk = loop(state, images_k, labels_k)
+            return st, {"g_loss": mk["g_loss"][-1]}
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
     for _ in range(3):
         state, metrics = step(state, images, labels)
     float(np.asarray(metrics["g_loss"]))

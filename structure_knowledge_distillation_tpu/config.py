@@ -99,6 +99,7 @@ class TrainConfig:
     num_data_shards: int = 1  # data-parallel mesh size (per slice)
     num_model_shards: int = 1  # tensor-parallel mesh size (teacher/student channels)
     num_slices: int = 1  # TPU slices (dcn mesh axis; cross-slice data parallel)
+    unroll_steps: int = 1  # device-loop: optimizer steps per dispatch (lax.scan)
     decode_cache_dir: str = ""  # one-time PNG decode to raw .npy + mmap reads
     num_workers: int = 0  # decode/augment worker processes (0 = in-process)
     seed: int = 0
@@ -178,6 +179,7 @@ class TrainConfig:
         p.add_argument("--num-data-shards", default=1, type=int)
         p.add_argument("--num-model-shards", default=1, type=int)
         p.add_argument("--num-slices", default=1, type=int)
+        p.add_argument("--unroll-steps", default=1, type=int)
         p.add_argument("--decode-cache-dir", default="", type=str)
         p.add_argument("--num-workers", default=0, type=int)
         p.add_argument("--seed", default=0, type=int)

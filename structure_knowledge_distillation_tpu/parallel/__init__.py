@@ -1,5 +1,6 @@
 from structure_knowledge_distillation_tpu.parallel.mesh import (
     batch_sharding,
+    stacked_batch_sharding,
     make_mesh,
     param_shardings,
     replicated,
@@ -8,6 +9,7 @@ from structure_knowledge_distillation_tpu.parallel.mesh import (
 
 __all__ = [
     "batch_sharding",
+    "stacked_batch_sharding",
     "make_mesh",
     "param_shardings",
     "replicated",

@@ -70,6 +70,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(_data_axes(mesh)))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a (unroll, batch, ...) stacked microbatch: the leading
+    device-loop axis is replicated, the batch axis is data-sharded."""
+    return NamedSharding(mesh, P(None, _data_axes(mesh)))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -49,7 +49,7 @@ def _use_fused_ce(cfg) -> bool:
         return False
     return jax.default_backend() == "tpu"
 
-__all__ = ["make_train_step"]
+__all__ = ["make_train_step", "make_train_loop"]
 
 Metrics = Dict[str, jnp.ndarray]
 
@@ -211,3 +211,33 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_train_loop(step_fn: Callable, unroll: int = 1) -> Callable:
+    """Device-side multi-step loop: `lax.scan` of `step_fn` over a stacked
+    leading microbatch axis.
+
+    One dispatch runs `unroll` optimizer steps back-to-back on the device —
+    the host/runtime per-step launch overhead (measured ~7 ms/step through
+    the axon relay; real pods hide input with infeed the same way) is paid
+    once per chunk instead of once per step. Semantics are identical to
+    calling `step_fn` sequentially: the per-step RNG folds `state.rng` with
+    `state.step`, the optax schedule count advances inside the carried
+    optimizer state, and spectral u/v thread through the carry.
+
+    Args:
+      step_fn: the function from `make_train_step` (NOT yet jitted).
+      unroll: number of steps per dispatch (static; shapes must match).
+
+    Returns loop(state, images_k, labels_k) -> (state, stacked_metrics) where
+    images_k/labels_k carry a leading (unroll,) axis and every metric in
+    stacked_metrics has shape (unroll,). Jit with donate_argnums=(0,).
+    """
+
+    def train_loop(state, images_k, labels_k):
+        def body(st, batch):
+            return step_fn(st, batch[0], batch[1])
+
+        return jax.lax.scan(body, state, (images_k, labels_k), length=unroll)
+
+    return train_loop

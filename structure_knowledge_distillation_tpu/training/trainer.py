@@ -105,7 +105,16 @@ class KDTrainer:
 
         step_fn = make_train_step(cfg, self.teacher, self.student,
                                   self.discriminator, self.g_tx, self.d_tx)
+        self._step_fn = step_fn
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self.unroll = max(1, int(getattr(cfg, "unroll_steps", 1)))
+        if self.unroll > 1:
+            from structure_knowledge_distillation_tpu.training.train_step import (
+                make_train_loop,
+            )
+
+            self.train_loop = jax.jit(make_train_loop(step_fn, self.unroll),
+                                      donate_argnums=(0,))
         self.g_sched = poly_schedule(cfg.lr_g, cfg.num_steps, cfg.power)
         self.d_sched = poly_schedule(cfg.lr_d, cfg.num_steps, cfg.power)
 
@@ -193,43 +202,89 @@ class KDTrainer:
         profile_dir = getattr(cfg, "profile_dir", "")
         profile_start = 10
         first_step = getattr(self, "start_step", cfg.last_step) + 1
-        for step_idx, batch in enumerate(train_iter, first_step):
-            if profile_dir and step_idx == profile_start:
+        unroll = getattr(self, "unroll", 1)
+        steps_since_log = 0
+
+        def chunks():
+            """Yield (first_step_idx, [batch, ...]) groups of `unroll` steps
+            (the tail group may be shorter and falls back to per-step calls)."""
+            buf, start = [], first_step
+            for b in train_iter:
+                buf.append(b)
+                if len(buf) == unroll:
+                    yield start, buf
+                    start += len(buf)
+                    buf = []
+            if buf:
+                yield start, buf
+
+        for start, batch_list in chunks():
+            end = start + len(batch_list) - 1
+            if profile_dir and start <= profile_start <= end:
                 jax.profiler.start_trace(profile_dir)
-            images, labels = batch[0], batch[1]
-            if self.batch_sharding is not None and not hasattr(images, "sharding"):
-                images = jax.device_put(images, self.batch_sharding)
-                labels = jax.device_put(labels, self.batch_sharding)
-            self.state, metrics = self.train_step(self.state, images, labels)
-            if profile_dir and step_idx == profile_start + cfg.profile_steps:
+            metrics_k = None
+            if unroll > 1 and len(batch_list) == unroll:
+                # device loop: one dispatch runs `unroll` steps via lax.scan
+                images_k = np.stack([np.asarray(b[0]) for b in batch_list])
+                labels_k = np.stack([np.asarray(b[1]) for b in batch_list])
+                if self.batch_sharding is not None:
+                    from structure_knowledge_distillation_tpu.parallel import (
+                        stacked_batch_sharding,
+                    )
+
+                    sh = stacked_batch_sharding(self.mesh)
+                    images_k = jax.device_put(images_k, sh)
+                    labels_k = jax.device_put(labels_k, sh)
+                self.state, metrics_k = self.train_loop(
+                    self.state, images_k, labels_k)
+                metrics = jax.tree.map(lambda m: m[-1], metrics_k)
+            else:
+                for batch in batch_list:
+                    images, labels = batch[0], batch[1]
+                    if self.batch_sharding is not None and not hasattr(images, "sharding"):
+                        images = jax.device_put(images, self.batch_sharding)
+                        labels = jax.device_put(labels, self.batch_sharding)
+                    self.state, metrics = self.train_step(self.state, images, labels)
+            steps_since_log += len(batch_list)
+            if profile_dir and end >= profile_start + cfg.profile_steps:
                 jax.device_get(metrics)
                 jax.profiler.stop_trace()
                 log.info("profiler trace written to %s", profile_dir)
                 profile_dir = ""
 
-            if step_idx % cfg.log_every == 0:
-                metrics = jax.device_get(metrics)
+            log_hits = [s for s in range(start, end + 1) if s % cfg.log_every == 0]
+            if log_hits:
+                step_idx = log_hits[-1]
+                m = metrics
+                if metrics_k is not None and step_idx != end:
+                    m = jax.tree.map(lambda v: v[step_idx - start], metrics_k)
+                m = jax.device_get(m)
                 dt = time.time() - t_last
-                ips = cfg.log_every * cfg.batch_size / max(dt, 1e-9)
+                ips = steps_since_log * cfg.batch_size / max(dt, 1e-9)
                 t_last = time.time()
+                steps_since_log = 0
                 log.info(
                     "step:%5d G_lr:%.6f G_loss:%.5f (mc:%.5f pi:%.5f pa:%.5f) "
                     "D_lr:%.6f D_loss:%.5f img/s:%.2f",
                     step_idx, float(self.g_sched(step_idx)),
-                    float(metrics.get("g_loss", 0.0)),
-                    float(metrics.get("mc_loss", 0.0)),
-                    float(metrics.get("pi_loss", 0.0)),
-                    float(metrics.get("pa_loss", 0.0)),
+                    float(m.get("g_loss", 0.0)),
+                    float(m.get("mc_loss", 0.0)),
+                    float(m.get("pi_loss", 0.0)),
+                    float(m.get("pa_loss", 0.0)),
                     float(self.d_sched(step_idx)),
-                    float(metrics.get("d_loss", 0.0)), ips,
+                    float(m.get("d_loss", 0.0)), ips,
                 )
                 if writer is not None:
-                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars = {k: float(v) for k, v in m.items()}
                     scalars["img_per_sec"] = ips
                     scalars["g_lr"] = float(self.g_sched(step_idx))
                     writer.write(step_idx, scalars)
 
-            if val_loader is not None and cfg.should_eval(step_idx):
+            eval_hits = [s for s in range(start, end + 1) if cfg.should_eval(s)]
+            if val_loader is not None and eval_hits:
+                # with unroll > 1 the eval state is post-chunk (≤ unroll-1
+                # steps after the cadence hit); step attribution keeps the hit
+                step_idx = eval_hits[-1]
                 # accept a factory so repeated evals get a fresh iterator
                 loader = val_loader() if callable(val_loader) else val_loader
                 mean_iu, iu_array = self.evaluate(loader, eval_out_size)
