@@ -165,6 +165,43 @@ def _shift_rows(a: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.concatenate([a[d:], z]) if d > 0 else jnp.concatenate([z, a[:d]])
 
 
+class _StemConv1(nn.Module):
+    """The 3-channel stem conv (3→64, 3×3, stride 2) as im2col patches + one
+    MXU matmul. XLA's direct lowering of the 3-input-channel conv (and its
+    weight gradient) runs far above its HBM floor — expressing it as
+    `conv_general_dilated_patches` + dot keeps both the forward and the
+    autodiff wgrad on the MXU. Parameter tree ("kernel" (3,3,3,F), optional
+    "bias") is identical to `nn.Conv`, so checkpoint import is unaffected.
+    Reference counterpart: resnet stem conv1 (pspnet_combine.py:121-127).
+
+    MEASURED SLOWER end-to-end (full-recipe bench 149.6 → 142.6 img/s): XLA
+    materializes the (N,Ho,Wo,27) patch tensor instead of fusing the
+    extraction into the dot. Kept flag-gated (off) as a recorded negative —
+    do not enable without re-measuring."""
+
+    features: int = 64
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", _KERNEL_INIT, (3, 3, x.shape[-1],
+                                                     self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        p = jax.lax.conv_general_dilated_patches(
+            x.astype(dt), (3, 3), window_strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (N,Ho,Wo,C·kh·kw)
+        # patches order the feature axis channel-major (C, kh, kw)
+        wv = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(-1, self.features)
+        y = jax.lax.dot_general(p, wv.astype(dt), (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        return y.astype(dt)
+
+
 class _PSPBottleneckConv(nn.Module):
     """The PSP 3×3 bottleneck conv over [stage0‖…‖stage3‖x4] WITHOUT
     materializing the concatenated (…,4096) tensor.
@@ -283,6 +320,7 @@ class ResPSPNet(nn.Module):
     bn_fused: bool = False  # use the Pallas fused ABN kernels
     fold_bn: bool = False  # eval-only: BN pre-folded into conv weights/biases
     dense_psp_bottleneck: bool = False  # concat+conv PSP path (parity escape)
+    stem_patches_conv1: bool = False  # im2col stem conv1 (measured slower)
 
     @property
     def _block_cls(self):
@@ -300,8 +338,13 @@ class ResPSPNet(nn.Module):
         bn = lambda name: mk_bn("none", name)
         bias = self.fold_bn
         # Stem: 3 -> 64 -> 64 -> 128, stride 2 then ceil-mode 3x3/2 max pool.
-        x = nn.relu(bn("bn1")(_conv(64, 3, 2, use_bias=bias, dtype=self.dtype,
-                                    name="conv1")(x), not train))
+        if self.stem_patches_conv1:
+            conv1_out = _StemConv1(64, use_bias=bias, dtype=self.dtype,
+                                   name="conv1")(x)
+        else:
+            conv1_out = _conv(64, 3, 2, use_bias=bias, dtype=self.dtype,
+                              name="conv1")(x)
+        x = nn.relu(bn("bn1")(conv1_out, not train))
         x = nn.relu(bn("bn2")(_conv(64, 3, 1, use_bias=bias, dtype=self.dtype,
                                     name="conv2")(x), not train))
         x = nn.relu(bn("bn3")(_conv(128, 3, 1, use_bias=bias, dtype=self.dtype,
