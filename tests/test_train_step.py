@@ -223,6 +223,49 @@ def test_data_parallel_invariance():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_device_loop_data_parallel_invariance():
+    """The scanned loop under a data-sharded mesh (stacked_batch_sharding:
+    leading unroll axis replicated, batch axis sharded) must match the
+    unsharded scanned loop."""
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh, shard_state, stacked_batch_sharding,
+    )
+    from structure_knowledge_distillation_tpu.training import make_train_loop
+
+    cfg = make_cfg(batch_size=4, ho=False, input_size=(128, 128))
+    state, _, _, _ = build(cfg, batch=4)
+    teacher = TinyNet(width=32)
+    student = TinyNet(width=16)
+    disc = Discriminator(preprocess_mode=1, image_size=17, conv_dim=16)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    step = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+    K = 2
+    loop = make_train_loop(step, K)
+
+    key = jax.random.PRNGKey(17)
+    images_k = jax.random.normal(key, (K, 4, 128, 128, 3), jnp.float32)
+    labels_k = jax.random.randint(key, (K, 4, 128, 128), 0, CLASSES)
+
+    ref_state, ref_metrics = jax.jit(loop)(state, images_k, labels_k)
+
+    mesh = make_mesh(num_data=4, num_model=1)
+    sh_state = shard_state(state, mesh)
+    sbs = stacked_batch_sharding(mesh)
+    new_state, metrics = jax.jit(loop)(
+        sh_state, jax.device_put(images_k, sbs), jax.device_put(labels_k, sbs))
+
+    assert int(new_state.step) == K
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            np.asarray(metrics[k]), np.asarray(ref_metrics[k]),
+            rtol=2e-3, atol=1e-5), k
+    for a, b in zip(jax.tree.leaves(new_state.student_params),
+                    jax.tree.leaves(ref_state.student_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
 def test_distillation_pulls_student_toward_teacher():
     """Pi-only training on a fixed batch must reduce the pixel-wise KL —
     validates the distillation gradient path end-to-end."""
