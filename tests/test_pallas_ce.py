@@ -27,6 +27,25 @@ def test_pallas_ce_matches_reference(hin, hout):
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
 
 
+def test_pallas_ce_unaligned_block_fallback():
+    """Output heights with no multiple-of-8 block divisor (bp % 8 != 0) take
+    the per-class width loop instead of the class-batched reshape matmul —
+    values and grads must still match the XLA criterion."""
+    rng = np.random.RandomState(7)
+    out = (20, 36)  # _pick_block(20) -> 20, not a multiple of 8
+    logits = jnp.asarray(rng.randn(2, 5, 9, 6).astype(np.float32))
+    labels = rng.randint(0, 6, (2, *out))
+    labels[0, :3] = 255
+    labels = jnp.asarray(labels)
+    ours = upsampled_ce_loss(logits, labels, out, 255)
+    ref = _ref_loss(logits, labels, out)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+    g_ours = jax.grad(lambda l: upsampled_ce_loss(l, labels, out, 255))(logits)
+    g_ref = jax.grad(lambda l: _ref_loss(l, labels, out))(logits)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_pallas_ce_grad_matches_reference():
     rng = np.random.RandomState(1)
     logits = jnp.asarray(rng.randn(2, 9, 9, 7).astype(np.float32))
