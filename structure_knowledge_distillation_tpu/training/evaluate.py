@@ -102,8 +102,20 @@ def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
             h: jnp.ndarray, w: jnp.ndarray):
         preds = model.apply(variables, image, train=False)
         logits = preds[0] if isinstance(preds, (tuple, list)) else preds
-        up = resize_bilinear_align_corners(logits.astype(jnp.float32), out_size)
-        pred = jnp.argmax(up[0], axis=-1).astype(jnp.uint8)
+        from structure_knowledge_distillation_tpu.ops.pallas_eval import (
+            argmax_kernel_fits,
+            upsampled_argmax,
+        )
+
+        if (jax.default_backend() == "tpu"
+                and argmax_kernel_fits(logits.shape, out_size)):
+            # fused upsample+argmax: never materializes the (H,W,C) f32
+            # upsampled logits (159 MB at Cityscapes full res)
+            pred = upsampled_argmax(logits, out_size)[0].astype(jnp.uint8)
+        else:
+            up = resize_bilinear_align_corners(
+                logits.astype(jnp.float32), out_size)
+            pred = jnp.argmax(up[0], axis=-1).astype(jnp.uint8)
         # crop-to-`size` equivalent (the slow path slices [:h, :w], reference
         # evaluate.py:183-185): padded rows/cols are forced to ignore so any
         # padding convention — not just ignore-padded labels — stays out of
