@@ -239,12 +239,16 @@ class KDTrainer:
                     self.state, images_k, labels_k)
                 metrics = jax.tree.map(lambda m: m[-1], metrics_k)
             else:
+                per_step = []
                 for batch in batch_list:
                     images, labels = batch[0], batch[1]
                     if self.batch_sharding is not None and not hasattr(images, "sharding"):
                         images = jax.device_put(images, self.batch_sharding)
                         labels = jax.device_put(labels, self.batch_sharding)
                     self.state, metrics = self.train_step(self.state, images, labels)
+                    per_step.append(metrics)
+                if len(per_step) > 1:
+                    metrics_k = jax.tree.map(lambda *ms: jnp.stack(ms), *per_step)
             steps_since_log += len(batch_list)
             if profile_dir and end >= profile_start + cfg.profile_steps:
                 jax.device_get(metrics)
