@@ -1,0 +1,108 @@
+"""Inference-export entry point (TPU-native packaging; no reference
+counterpart — the reference ships raw training state_dicts only).
+
+    python -m structure_knowledge_distillation_tpu.cli.export \
+        --checkpoint snapshots/CS_scenes_39999_0.75.msgpack \
+        --output ./export/student_infer --fold-bn
+
+Loads a trained ResPSPNet checkpoint (native .msgpack — raw variables or a
+full trainer-state snapshot — or a torch .pth via the importer), optionally
+folds the eval-mode ABN statistics into the conv kernels
+(models/fold.py — use with `ResPSPNet(fold_bn=True)` at serving time),
+verifies forward parity of the folded model on a random input, and writes a
+native inference .msgpack (+ .json metadata). `--torch-output` additionally
+emits a reference-compatible torch state_dict (unfolded — the torch model
+keeps its BN modules; key surgery mirrors utils/utils.py:73-91).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+log = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help=".msgpack (variables or trainer state) or torch .pth")
+    p.add_argument("--arch", default="resnet18",
+                   choices=("resnet18", "resnet101"))
+    p.add_argument("--classes-num", default=19, type=int)
+    p.add_argument("--output", required=True,
+                   help="output basename (writes <output>.msgpack + .json)")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold eval-mode ABN into conv kernels (native only)")
+    p.add_argument("--torch-output", default="",
+                   help="also write a torch state_dict .pth (unfolded)")
+    p.add_argument("--verify-size", default=128, type=int,
+                   help="input side length for the fold parity check")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    from structure_knowledge_distillation_tpu.models import (
+        ResPSPNet,
+        student_model,
+        teacher_model,
+    )
+    from structure_knowledge_distillation_tpu.models.fold import fold_bn_variables
+    from structure_knowledge_distillation_tpu.training import checkpoint as ckpt_io
+
+    make = student_model if args.arch == "resnet18" else teacher_model
+    model = make(num_classes=args.classes_num)
+    s = args.verify_size
+    dummy = jnp.zeros((1, s, s, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    if args.checkpoint.endswith((".pth", ".pth.tar", ".tar")):
+        sd, _ = ckpt_io.load_torch_checkpoint(args.checkpoint)
+        variables = ckpt_io.import_torch_respspnet(sd, variables)
+    else:
+        variables = ckpt_io.load_student_variables(args.checkpoint, variables)
+
+    out_vars = variables
+    max_diff = None
+    if args.fold_bn:
+        out_vars = fold_bn_variables(variables)
+        folded_model = ResPSPNet(
+            block=model.block, layers=tuple(model.layers),
+            num_classes=args.classes_num, fold_bn=True)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, s, s, 3), jnp.float32)
+        ref = model.apply(variables, x, train=False)[0].astype(jnp.float32)
+        got = folded_model.apply(out_vars, x, train=False)[0].astype(jnp.float32)
+        max_diff = float(jnp.abs(ref - got).max()
+                         / jnp.maximum(jnp.abs(ref).max(), 1.0))
+        log.info("fold parity: max relative logit diff = %.3e", max_diff)
+        if max_diff > 1e-3:
+            raise RuntimeError(f"BN folding parity check failed ({max_diff})")
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output + ".msgpack", "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(out_vars)))
+    meta = {"arch": args.arch, "classes_num": args.classes_num,
+            "fold_bn": bool(args.fold_bn), "source": args.checkpoint}
+    if max_diff is not None:
+        meta["fold_max_logit_diff"] = max_diff
+    with open(args.output + ".json", "w") as f:
+        json.dump(meta, f)
+    log.info("wrote %s.msgpack", args.output)
+
+    if args.torch_output:
+        import torch
+
+        sd = ckpt_io.export_torch_respspnet(variables)
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                   args.torch_output)
+        log.info("wrote torch state_dict %s", args.torch_output)
+    return args.output + ".msgpack"
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()
