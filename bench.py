@@ -29,6 +29,14 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 20,
          pi: bool = True, pa: bool = True, ho: bool = True,
          teacher_layers=(3, 4, 23, 3), unroll: int = 20) -> dict:
     import jax
+
+    # Persistent compile cache: the full-recipe step takes ~6-7 min to
+    # compile through the axon relay; cached recompiles take seconds.
+    # (Verified functional through the relay — entries are written and hit.)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/sskd_jax_cache")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from structure_knowledge_distillation_tpu.config import TrainConfig
@@ -65,6 +73,10 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 20,
     t_vars["batch_stats"] = jax.tree.map(jnp.ones_like, t_vars["batch_stats"])
     t_vars["params"] = jax.tree.map(
         lambda x: x + 0.01 if x.ndim == 4 else x, t_vars["params"])
+    # NOTE: keep these inits EAGER. Jitting them was tried and makes the
+    # end-to-end bench slower and high-variance through the relay (their
+    # one-off compiles dwarf the eager dispatch cost; measured 14-15+ min
+    # vs 6.7-8 min total).
     s_vars = student.init(key, images[:1], train=False)
     logits_hw = 65 if image_size == 512 else image_size // 8 + 1
     d_vars = disc.init(key, jnp.zeros((1, logits_hw, logits_hw, 19)), train=False)
