@@ -206,6 +206,11 @@ def evaluate_main(
     else:
         predictor = make_predictor(model, out_size)
         predict = lambda img: predictor(variables, jnp.asarray(img))
+        # sliding tiles are upsampled to TILE size before accumulation
+        # (reference evaluate.py:71 interp = Upsample(size=tile_size)), NOT
+        # to the full output size
+        tile_predictor = make_predictor(model, tile_size)
+        predict_tile = lambda img: tile_predictor(variables, jnp.asarray(img))
 
     conf = np.zeros((num_classes, num_classes), np.float64)
     for batch in loader:
@@ -234,7 +239,8 @@ def evaluate_main(
         if whole:
             logits = predict_multiscale(predict, np.asarray(image), scales, flip)
         else:
-            logits = predict_sliding(predict, np.asarray(image), tile_size, num_classes)
+            logits = predict_sliding(predict_tile, np.asarray(image), tile_size,
+                                     num_classes)
         seg_pred = np.argmax(logits, axis=2).astype(np.uint8)
 
         if output_dir is not None:

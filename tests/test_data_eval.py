@@ -234,6 +234,36 @@ def test_fast_val_path_matches_slow_path():
     np.testing.assert_allclose(fast[1], slow2[1], rtol=1e-6)
 
 
+def test_sliding_tiles_upsample_to_tile_size():
+    """Sliding-window eval must upsample each tile's logits to TILE size
+    (reference evaluate.py:71), not to the full output size. For a pointwise
+    model the sliding reconstruction equals the whole-image path exactly —
+    with multiple tiles per image (tile < image) this discriminates."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.training.evaluate import evaluate_main
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return (nn.Conv(5, (1, 1))(x), x)
+
+    model = Tiny()
+    rng = np.random.default_rng(3)
+    img = rng.normal(0, 50, (1, 64, 64, 3)).astype(np.float32)
+    lab = rng.integers(0, 5, (1, 64, 64)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img), train=False)
+    batch = [(img, lab, np.array([[64, 64, 3]]), ["x"])]
+
+    whole = evaluate_main(model, variables, batch, 5, out_size=(64, 64),
+                          eval_type="val", whole=True)
+    sliding = evaluate_main(model, variables, batch, 5, out_size=(64, 64),
+                            eval_type="val", whole=False, tile_size=(32, 32))
+    np.testing.assert_allclose(whole[0], sliding[0], rtol=1e-6)
+    np.testing.assert_allclose(whole[1], sliding[1], rtol=1e-6)
+
+
 def test_batch_iterator_reshuffles_each_epoch():
     """Per-epoch reshuffle like the reference DataLoader
     (train_and_eval.py:13-17)."""
