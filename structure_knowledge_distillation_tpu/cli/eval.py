@@ -78,6 +78,9 @@ def main(argv=None):
     p.add_argument("--scales", default="1.0", type=str)
     p.add_argument("--eval-size", default="", type=str,
                    help="H,W; empty = dataset default")
+    p.add_argument("--tile-size", default="512,512", type=str,
+                   help="H,W sliding tile for --whole false (reference "
+                        "input_size, networks/evaluate.py:163)")
     args = p.parse_args(argv)
     default_size, default_classes = _DATASET_DEFAULTS[args.data_set]
     out_h, out_w = (map(int, args.eval_size.split(","))
@@ -99,6 +102,7 @@ def main(argv=None):
     mean_iu, iu_array = evaluate_main(
         model, variables, loader, num_classes, out_size=(out_h, out_w),
         eval_type="val", output_dir=args.output_dir or None, whole=args.whole,
+        tile_size=tuple(map(int, args.tile_size.split(","))),
         scales=tuple(float(s) for s in args.scales.split(",")), flip=args.flip,
     )
     print(f"meanIU: {mean_iu:.6f}")
