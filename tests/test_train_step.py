@@ -317,6 +317,46 @@ def test_kd_trainer_fit_and_eval(tmp_path):
     assert (tmp_path / "log" / "scalars.jsonl").exists()
 
 
+def test_kd_trainer_espnet_cross_family(tmp_path):
+    """ESPNet student (floor-stride grid) vs PSPNet teacher (ceil-stride):
+    the train step aligns the teacher's stride-8 grid to the student's by
+    align-corners resize (train_step.py cross-family path) — Pi/Pa must run
+    and produce finite losses (CamVid/ESPNet transfer capability,
+    reference README.md:12-18)."""
+    from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
+    from structure_knowledge_distillation_tpu.data import batch_iterator
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=11, batch_size=2, input_size=(128, 128), num_steps=2,
+        teacher_layers=(1, 1, 1, 1), student_arch="espnet", pi=True, pa=True,
+        ho=False, compute_dtype="float32",
+        snapshot_dir=str(tmp_path / "snap"), log_path="", log_every=1,
+        eval_every=0,
+    )
+    trainer = KDTrainer(cfg)
+    # teacher 17x17 (ceil) vs ESPNet 16x16 (floor): alignment must trigger
+    t_hw = jax.eval_shape(
+        lambda: trainer.teacher.apply(
+            {"params": trainer.state.teacher_params,
+             "batch_stats": trainer.state.teacher_stats},
+            jnp.zeros((1, 128, 128, 3)), train=False))[0].shape[1:3]
+    s_hw = jax.eval_shape(
+        lambda: trainer.student.apply(
+            {"params": trainer.state.student_params,
+             "batch_stats": trainer.state.student_stats},
+            jnp.zeros((1, 128, 128, 3)), train=False))[0].shape[1:3]
+    assert t_hw != s_hw, (t_hw, s_hw)
+
+    ds = SyntheticSegDataset(length=4, crop_size=(128, 128), num_classes=11)
+    images, labels = next(iter(batch_iterator(ds, 2, shuffle=False)))[:2]
+    state, metrics = trainer.train_step(trainer.state, jnp.asarray(images),
+                                        jnp.asarray(labels))
+    for k in ("mc_loss", "pi_loss", "pa_loss", "g_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 1
+
+
 def test_kd_trainer_fit_unrolled(tmp_path):
     """KDTrainer with unroll_steps=2 (device loop): 5 steps = 2 full chunks +
     a short tail; cadence hits inside chunks still log/eval/checkpoint."""
