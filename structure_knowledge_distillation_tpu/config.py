@@ -143,6 +143,14 @@ class TrainConfig:
         p.add_argument("--S_resume", default=False, type=str2bool)
         p.add_argument("--D_resume", default=False, type=str2bool)
         p.add_argument("--is-student-load-imgnet", default=False, type=str2bool)
+        # accepted-and-ignored GPU-era flags so unmodified reference scripts
+        # (run_train_val.sh passes --gpu 0 --parallel False) run as-is:
+        # device placement is the mesh's job, --parallel was a truthy-string
+        # bug (train_options.py:30), --is-training/--recurrence were unused.
+        p.add_argument("--gpu", default="", type=str, help=argparse.SUPPRESS)
+        p.add_argument("--parallel", default="", type=str, help=argparse.SUPPRESS)
+        p.add_argument("--is-training", default="", type=str, help=argparse.SUPPRESS)
+        p.add_argument("--recurrence", default=1, type=int, help=argparse.SUPPRESS)
         p.add_argument("--student-pretrain-model-imgnet", default="", type=str)
         p.add_argument("--snapshot-dir", default=cls.snapshot_dir, type=str)
         p.add_argument("--log-path", default=cls.log_path, type=str)
