@@ -76,8 +76,12 @@ def _fill_up_scratch(ah_blk, aw, x_ref, up_ref, tmp_ref, c):
     outputs); otherwise fall back to the per-class width loop."""
     bp, w_in = tmp_ref.shape[1], tmp_ref.shape[2]
     w_out = aw.shape[0]
-    for k in range(c):
-        tmp_ref[k] = _dot(ah_blk, x_ref[0, k].astype(jnp.float32))
+    # height contraction batched over classes (Mosaic supports one batch
+    # dim on dot_general; broadcasting Ah is VMEM-cheap)
+    ah_b = jnp.broadcast_to(ah_blk, (c,) + ah_blk.shape)
+    tmp_ref[:] = jax.lax.dot_general(
+        ah_b, x_ref[0].astype(jnp.float32),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
     if bp % 8 == 0:
         up = _dot(tmp_ref[:].reshape(c * bp, w_in), aw, contract=((1,), (1,)))
         up_ref[:] = up.reshape(c, bp, w_out)
@@ -154,9 +158,10 @@ def _accum_dx(ah_blk, aw, up_ref, dx_ref, tmp_ref, c):
     else:
         for k in range(c):
             tmp_ref[k] = _dot(up_ref[k], aw)
-    for k in range(c):
-        dx_ref[0, k] += _dot(ah_blk, tmp_ref[k], contract=((0,), (0,))
-                             ).astype(dx_ref.dtype)
+    ah_b = jnp.broadcast_to(ah_blk, (c,) + ah_blk.shape)
+    dx_ref[0] += jax.lax.dot_general(
+        ah_b, tmp_ref[:], (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
 def _specs(n, h_in, w_in, c, h_out, w_out, bp):
