@@ -21,15 +21,9 @@ from structure_knowledge_distillation_tpu.data import batch_iterator
 from structure_knowledge_distillation_tpu.training import checkpoint as ckpt_io
 from structure_knowledge_distillation_tpu.training.evaluate import evaluate_main
 
-# (eval resolution, default class count) per dataset — reference evaluate_main
-# serves cityscapes and VOC (networks/evaluate.py:156-206, input sizes
-# (1024,2048) / (505,505)); CamVid is the ESPNet transfer config.
-_DATASET_DEFAULTS = {
-    "cityscapes": ((1024, 2048), 19),
-    "cityscape": ((1024, 2048), 19),
-    "voc": ((505, 505), 21),
-    "camvid": ((360, 480), 11),
-}
+from structure_knowledge_distillation_tpu.data import (
+    DATASET_EVAL_DEFAULTS as _DATASET_DEFAULTS,
+)
 
 
 def _build_val_dataset(data_set: str, data_dir: str, data_list: str, size):
@@ -96,7 +90,10 @@ def main(argv=None):
         sd = ckpt_io.load_torch_state_dict(args.resume_from)
         variables = ckpt_io.import_torch_respspnet(sd, variables)
 
-    ds = _build_val_dataset(args.data_set, args.data_dir, args.data_list,
+    from structure_knowledge_distillation_tpu.data.lists import ensure_list
+
+    data_list = ensure_list(args.data_set, args.data_dir, args.data_list)
+    ds = _build_val_dataset(args.data_set, args.data_dir, data_list,
                             (out_h, out_w))
     loader = batch_iterator(ds, 1, shuffle=False, drop_last=False)
     mean_iu, iu_array = evaluate_main(

@@ -39,12 +39,15 @@ def main(argv=None):
         sd = ckpt_io.load_torch_state_dict(cfg.resume_from)
         variables = ckpt_io.import_torch_respspnet(sd, variables)
 
+    from structure_knowledge_distillation_tpu.data.lists import ensure_list
+
+    data_list = ensure_list(cfg.data_set, cfg.data_dir, cfg.data_list)
     if cfg.data_set == "voc":
         from structure_knowledge_distillation_tpu.data import VOCTestDataset
 
-        ds = VOCTestDataset(cfg.data_dir, cfg.data_list, crop_size=(505, 505))
+        ds = VOCTestDataset(cfg.data_dir, data_list, crop_size=(505, 505))
     else:
-        ds = CityscapesTestDataset(cfg.data_dir, cfg.data_list, crop_size=(1024, 2048))
+        ds = CityscapesTestDataset(cfg.data_dir, data_list, crop_size=(1024, 2048))
     loader = batch_iterator(ds, 1, shuffle=False, drop_last=False)
     out_size = (505, 505) if cfg.data_set == "voc" else (1024, 2048)
     evaluate_main(

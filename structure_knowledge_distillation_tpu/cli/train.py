@@ -30,6 +30,14 @@ log = logging.getLogger(__name__)
 
 
 def build_datasets(cfg: TrainConfig):
+    if cfg.data_set != "synthetic":
+        # reference-style default list paths (./dataset/list/<ds>/train.lst)
+        # resolve by generating from the dataset tree on first use
+        from structure_knowledge_distillation_tpu.data.lists import ensure_list
+
+        cfg.data_list = ensure_list(cfg.data_set, cfg.data_dir, cfg.data_list)
+        cfg.val_data_list = ensure_list(cfg.data_set, cfg.data_dir,
+                                        cfg.val_data_list)
     if cfg.data_set == "synthetic":
         train = SyntheticSegDataset(
             length=cfg.num_steps * cfg.batch_size, crop_size=cfg.input_size,
@@ -184,14 +192,30 @@ def main(argv=None):
         else:
             trainer.try_resume()
 
-    train_iter = device_prefetch(
-        batch_iterator(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                       num_workers=cfg.num_workers),
-        sharding=trainer.batch_sharding,
-    )
+    host_iter = batch_iterator(train_ds, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed, num_workers=cfg.num_workers)
+    if trainer.unroll > 1:
+        # Stack unroll-sized chunks on the host, then transfer once — the
+        # scanned device loop consumes (unroll, B, ...) arrays directly.
+        from structure_knowledge_distillation_tpu.data import chunk_batches
+        from structure_knowledge_distillation_tpu.parallel import (
+            stacked_batch_sharding,
+        )
+
+        sharding = (stacked_batch_sharding(trainer.mesh)
+                    if trainer.mesh is not None else None)
+        train_iter = device_prefetch(
+            chunk_batches(host_iter, trainer.unroll), sharding=sharding)
+    else:
+        train_iter = device_prefetch(host_iter, sharding=trainer.batch_sharding)
     val_loader = lambda: batch_iterator(val_ds, 1, shuffle=False)
 
-    eval_out_size = cfg.input_size if cfg.data_set == "synthetic" else (1024, 2048)
+    if cfg.data_set == "synthetic":
+        eval_out_size = cfg.input_size
+    else:
+        from structure_knowledge_distillation_tpu.data import DATASET_EVAL_DEFAULTS
+
+        eval_out_size = DATASET_EVAL_DEFAULTS[cfg.data_set][0]
     best = trainer.fit(train_iter, val_loader, eval_out_size=eval_out_size)
     log.info("training done; best mean_IU %.4f", best)
     return best

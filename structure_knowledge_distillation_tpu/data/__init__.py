@@ -7,7 +7,23 @@ from structure_knowledge_distillation_tpu.data.cityscapes import (
     trainid2id,
 )
 from structure_knowledge_distillation_tpu.data.camvid import CAMVID_MEAN, CamVidDataset
-from structure_knowledge_distillation_tpu.data.prefetch import device_prefetch
+from structure_knowledge_distillation_tpu.data.prefetch import (
+    Chunk,
+    chunk_batches,
+    device_prefetch,
+)
+
+# (eval resolution, default class count) per dataset — the reference's
+# evaluate_main serves cityscapes at (1024,2048) and VOC at (505,505)
+# (networks/evaluate.py:156-206); CamVid (360,480)/11 is the ESPNet transfer
+# config. Both cli.train's in-training eval and cli.eval use this map, so a
+# CamVid/VOC training run evaluates at its dataset's native size.
+DATASET_EVAL_DEFAULTS = {
+    "cityscapes": ((1024, 2048), 19),
+    "cityscape": ((1024, 2048), 19),
+    "voc": ((505, 505), 21),
+    "camvid": ((360, 480), 11),
+}
 from structure_knowledge_distillation_tpu.data.voc import VOCDataset, VOCTestDataset
 from structure_knowledge_distillation_tpu.data.synthetic import (
     SyntheticSegDataset,
@@ -15,6 +31,9 @@ from structure_knowledge_distillation_tpu.data.synthetic import (
 )
 
 __all__ = [
+    "DATASET_EVAL_DEFAULTS",
+    "Chunk",
+    "chunk_batches",
     "IMG_MEAN_BGR",
     "CityscapesDataset",
     "CityscapesTestDataset",

@@ -22,7 +22,35 @@ import os
 import os.path as osp
 from typing import Optional
 
-__all__ = ["make_cityscapes_lists", "make_voc_lists", "make_camvid_lists"]
+__all__ = ["make_cityscapes_lists", "make_voc_lists", "make_camvid_lists",
+           "ensure_list"]
+
+
+def ensure_list(data_set: str, data_dir: str, list_path: str) -> str:
+    """Make a configured list path resolve out of the box.
+
+    The reference ships its lists in-repo (`dataset/list/cityscapes/train.lst`
+    etc.) so the default paths always exist; this repo generates them from the
+    dataset tree instead. If `list_path` is missing but `data_dir` looks like
+    a real dataset root, generate the lists into `dirname(list_path)` and
+    return the file for the split named in `list_path` — so reference-style
+    invocations (`--data-list ./dataset/list/cityscapes/train.lst`) run
+    without a separate generation step."""
+    if osp.isfile(list_path):
+        return list_path
+    gen = {"cityscapes": make_cityscapes_lists, "cityscape": make_cityscapes_lists,
+           "voc": make_voc_lists, "camvid": make_camvid_lists}.get(data_set)
+    if gen is None or not data_dir or not osp.isdir(data_dir):
+        return list_path  # the dataset loader raises its usual error
+    written = gen(data_dir, osp.dirname(list_path) or ".")
+    if osp.isfile(list_path):
+        return list_path
+    base = osp.basename(list_path)
+    # the generated name can differ from the requested one (train_aug.txt)
+    for split, path in written.items():
+        if split in base:
+            return path
+    return list_path
 
 
 def make_cityscapes_lists(root: str, out_dir: Optional[str] = None) -> dict:

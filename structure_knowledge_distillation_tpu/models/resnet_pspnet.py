@@ -277,6 +277,7 @@ class PSPModule(nn.Module):
     bn_fused: bool = False
     fold_bn: bool = False
     dense_bottleneck: bool = False  # materialize concat + plain conv instead
+    drop_rate: float = 0.1  # Dropout2d rate (reference pspnet_combine.py:100)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -300,7 +301,8 @@ class PSPModule(nn.Module):
                                    dtype=self.dtype,
                                    name="bottleneck_conv")(priors, x, (h, w))
         y = mk_bn("leaky_relu", "bottleneck_bn")(y, not train)
-        y = nn.Dropout(rate=0.1, broadcast_dims=(1, 2), deterministic=not train,
+        y = nn.Dropout(rate=self.drop_rate, broadcast_dims=(1, 2),
+                       deterministic=not train or self.drop_rate == 0.0,
                        name="bottleneck_dropout")(y)
         return y
 
@@ -321,6 +323,7 @@ class ResPSPNet(nn.Module):
     fold_bn: bool = False  # eval-only: BN pre-folded into conv weights/biases
     dense_psp_bottleneck: bool = False  # concat+conv PSP path (parity escape)
     stem_patches_conv1: bool = False  # im2col stem conv1 (measured slower)
+    drop_rate: float = 0.1  # PSP/DSN Dropout2d rate; 0.0 disables (oracles)
 
     @property
     def _block_cls(self):
@@ -383,7 +386,8 @@ class ResPSPNet(nn.Module):
         dsn_mid = 512 if self.block == BOTTLENECK else 128
         d = _conv(dsn_mid, 3, use_bias=True, dtype=self.dtype, name="dsn_conv1")(x3)
         d = mk_bn("leaky_relu", "dsn_bn")(d, not train)
-        d = nn.Dropout(rate=0.1, broadcast_dims=(1, 2), deterministic=not train,
+        d = nn.Dropout(rate=self.drop_rate, broadcast_dims=(1, 2),
+                       deterministic=not train or self.drop_rate == 0.0,
                        name="dsn_dropout")(d)
         x_dsn = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype, name="dsn_conv2")(d)
 
@@ -392,6 +396,7 @@ class ResPSPNet(nn.Module):
                                      dtype=self.dtype, bn_fused=self.bn_fused,
                                      fold_bn=self.fold_bn,
                                      dense_bottleneck=self.dense_psp_bottleneck,
+                                     drop_rate=self.drop_rate,
                                      name="pspmodule")(x4, train)
         logits = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
                        name="head")(x_feat_after_psp)

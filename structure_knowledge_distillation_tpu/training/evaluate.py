@@ -34,6 +34,7 @@ __all__ = [
     "predict_sliding",
     "predict_multiscale",
     "evaluate_main",
+    "evaluate_sharded",
 ]
 
 
@@ -127,6 +128,84 @@ def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
         return pred, conf
 
     return run
+
+
+def make_fast_val_batch_fn(model, out_size: Tuple[int, int], num_classes: int,
+                           ignore_label: int = 255) -> Callable:
+    """Batched fast-val: forward + upsample + argmax + confusion for a WHOLE
+    group of images in one dispatch. With the batch sharded on the mesh's
+    data axis, each device evaluates its own images and the (C,C) confusion
+    reduction becomes a single ICI all-reduce — the full-res Cityscapes val
+    sweep divides by the data-parallel degree (the reference evaluates
+    batch-1 on one GPU, networks/evaluate.py:156-175).
+
+    Padded slots are masked by passing h=w=0: every pixel lands out of
+    bounds → ignore_label → zero confusion contribution."""
+
+    @jax.jit
+    def run(variables, images: jnp.ndarray, labels: jnp.ndarray,
+            hs: jnp.ndarray, ws: jnp.ndarray):
+        preds = model.apply(variables, images, train=False)
+        logits = preds[0] if isinstance(preds, (tuple, list)) else preds
+        up = resize_bilinear_align_corners(logits.astype(jnp.float32), out_size)
+        pred = jnp.argmax(up, axis=-1).astype(jnp.uint8)  # (B, OH, OW)
+        in_bounds = (
+            (jnp.arange(out_size[0])[None, :, None] < hs[:, None, None])
+            & (jnp.arange(out_size[1])[None, None, :] < ws[:, None, None])
+        )
+        labels = jnp.where(in_bounds, labels, ignore_label)
+        conf = confusion_matrix(pred, labels, num_classes, ignore_label)
+        return pred, conf
+
+    return run
+
+
+def evaluate_sharded(
+    model,
+    variables,
+    loader: Iterable,
+    num_classes: int,
+    out_size: Tuple[int, int] = (1024, 2048),
+    batch: int = 8,
+    sharding=None,
+    ignore_label: int = 255,
+):
+    """Data-parallel whole-image val sweep (fast path only: one scale, no
+    flip, no PNGs — exactly the in-training eval). Groups `batch` images per
+    dispatch; the tail group is padded with masked slots. Returns
+    (mean_IU, IU_array) like `evaluate_main`."""
+    fn = make_fast_val_batch_fn(model, out_size, num_classes, ignore_label)
+    conf = np.zeros((num_classes, num_classes), np.float64)
+    buf = []
+
+    def flush():
+        nonlocal conf
+        if not buf:
+            return
+        n = len(buf)
+        pad = batch - n
+        images = np.stack([b[0] for b in buf] + [buf[-1][0]] * pad)
+        labels = np.stack([b[1] for b in buf] + [buf[-1][1]] * pad)
+        hs = np.array([b[2] for b in buf] + [0] * pad, np.int32)
+        ws = np.array([b[3] for b in buf] + [0] * pad, np.int32)
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
+            labels = jax.device_put(labels, sharding)
+        _, conf_dev = fn(variables, images, labels, jnp.asarray(hs),
+                         jnp.asarray(ws))
+        conf += np.asarray(conf_dev, np.float64)
+        buf.clear()
+
+    for item in loader:
+        image, label, size, _ = item
+        # loader yields batch-1 items; regroup to the device batch
+        for i in range(image.shape[0]):
+            h, w = int(size[i][0]), int(size[i][1])
+            buf.append((np.asarray(image[i]), np.asarray(label[i]), h, w))
+            if len(buf) == batch:
+                flush()
+    flush()
+    return iu_from_confusion(conf)
 
 
 def predict_sliding(

@@ -229,15 +229,40 @@ def make_train_loop(step_fn: Callable, unroll: int = 1) -> Callable:
       step_fn: the function from `make_train_step` (NOT yet jitted).
       unroll: number of steps per dispatch (static; shapes must match).
 
-    Returns loop(state, images_k, labels_k) -> (state, stacked_metrics) where
-    images_k/labels_k carry a leading (unroll,) axis and every metric in
-    stacked_metrics has shape (unroll,). Jit with donate_argnums=(0,).
+    Returns loop(state, images_k, labels_k, valid_k=None) -> (state,
+    stacked_metrics) where images_k/labels_k carry a leading (unroll,) axis
+    and every metric in stacked_metrics has shape (unroll,). Jit with
+    donate_argnums=(0,).
+
+    `valid_k` (optional (unroll,) bool) masks trailing padded steps: a
+    masked iteration leaves the carried state untouched and returns zeroed
+    metrics, via a real `lax.cond` branch (the skipped step costs only the
+    predicate, not a per-leaf select). This lets a final partial chunk of
+    `num_steps % unroll` steps reuse the ONE compiled loop program instead
+    of triggering a second multi-minute compile of a per-step program at the
+    end of a long run.
     """
 
-    def train_loop(state, images_k, labels_k):
-        def body(st, batch):
-            return step_fn(st, batch[0], batch[1])
+    def train_loop(state, images_k, labels_k, valid_k=None):
+        def run(st, images, labels):
+            return step_fn(st, images, labels)
 
-        return jax.lax.scan(body, state, (images_k, labels_k), length=unroll)
+        def body(st, xs):
+            if valid_k is None:
+                return run(st, xs[0], xs[1])
+            images, labels, valid = xs
+
+            def skip(s):
+                out = jax.eval_shape(run, s, images, labels)
+                zeros = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype),
+                                     out[1])
+                return s, zeros
+
+            return jax.lax.cond(valid, lambda s: run(s, images, labels),
+                                skip, st)
+
+        xs = ((images_k, labels_k) if valid_k is None
+              else (images_k, labels_k, valid_k))
+        return jax.lax.scan(body, state, xs, length=unroll)
 
     return train_loop

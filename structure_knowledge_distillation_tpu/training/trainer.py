@@ -41,6 +41,14 @@ def _dtype_of(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": None}.get(name, None)
 
 
+def _enumerate_steps(chunks, first_step: int):
+    """Pair each Chunk with the global index of its first (valid) step."""
+    step = first_step
+    for chunk in chunks:
+        yield step, chunk
+        step += chunk.n_valid
+
+
 class KDTrainer:
     def __init__(self, cfg: TrainConfig, teacher_vars=None, student_vars=None,
                  d_vars=None):
@@ -178,7 +186,10 @@ class KDTrainer:
             meta = {}
             if os.path.exists(meta_path):
                 meta = ckpt.load_meta(path)
-            step = int(meta.get("step", int(self.state.step)))
+            # prefer state_step (the actual state.step under the device
+            # loop) over the cadence step used in the filename/metadata
+            step = int(meta.get("state_step",
+                                meta.get("step", int(self.state.step))))
             best = float(meta.get("mean_iu", 0.0))
         if self.mesh is not None:
             self.state = shard_state(self.state, self.mesh)
@@ -200,89 +211,122 @@ class KDTrainer:
 
             writer = MetricsWriter(cfg.log_path)
         profile_dir = getattr(cfg, "profile_dir", "")
-        profile_start = 10
         first_step = getattr(self, "start_step", cfg.last_step) + 1
+        # profile window is relative to THIS run's first step, so resumed
+        # runs still capture a trace; profile_active pairs every stop_trace
+        # with a start_trace.
+        profile_start = first_step + 9
+        profile_active = False
         unroll = getattr(self, "unroll", 1)
         steps_since_log = 0
 
-        def chunks():
-            """Yield (first_step_idx, [batch, ...]) groups of `unroll` steps
-            (the tail group may be shorter and falls back to per-step calls)."""
-            buf, start = [], first_step
-            for b in train_iter:
-                buf.append(b)
-                if len(buf) == unroll:
-                    yield start, buf
-                    start += len(buf)
-                    buf = []
-            if buf:
-                yield start, buf
+        def chunk_stream():
+            """Yield `Chunk`s of `unroll` steps. Pre-chunked input (e.g. from
+            cli.train's chunk_batches→device_prefetch pipeline, which stacks
+            on the host before the single device transfer) passes through;
+            per-step batches are stacked here. The tail chunk is padded to
+            full length with `n_valid` marking the real steps, so the ONE
+            compiled loop program serves every chunk (no tail recompile)."""
+            from structure_knowledge_distillation_tpu.data.prefetch import (
+                Chunk,
+                chunk_batches,
+            )
 
-        for start, batch_list in chunks():
-            end = start + len(batch_list) - 1
-            if profile_dir and start <= profile_start <= end:
-                jax.profiler.start_trace(profile_dir)
-            metrics_k = None
-            if unroll > 1 and len(batch_list) == unroll:
-                # device loop: one dispatch runs `unroll` steps via lax.scan
-                images_k = np.stack([np.asarray(b[0]) for b in batch_list])
-                labels_k = np.stack([np.asarray(b[1]) for b in batch_list])
-                if self.batch_sharding is not None:
-                    from structure_knowledge_distillation_tpu.parallel import (
-                        stacked_batch_sharding,
-                    )
+            def gen():
+                buf = []
+                for b in train_iter:
+                    if isinstance(b, Chunk):
+                        if buf:
+                            raise ValueError(
+                                "mixed per-step batches and Chunks in train_iter")
+                        yield b
+                        continue
+                    buf.append(b)
+                    if len(buf) == unroll:
+                        yield from chunk_batches(iter(buf), unroll)
+                        buf = []
+                if buf:
+                    yield from chunk_batches(iter(buf), unroll)
 
-                    sh = stacked_batch_sharding(self.mesh)
-                    images_k = jax.device_put(images_k, sh)
-                    labels_k = jax.device_put(labels_k, sh)
-                self.state, metrics_k = self.train_loop(
-                    self.state, images_k, labels_k)
-                metrics = jax.tree.map(lambda m: m[-1], metrics_k)
-            else:
-                per_step = []
-                for batch in batch_list:
+            return gen()
+
+        def run_chunk(chunk):
+            """Dispatch one device-loop chunk; returns (n_valid, metrics_k)."""
+            images_k, labels_k, n_valid = chunk
+            if (self.batch_sharding is not None
+                    and not hasattr(images_k, "sharding")):
+                from structure_knowledge_distillation_tpu.parallel import (
+                    stacked_batch_sharding,
+                )
+
+                sh = stacked_batch_sharding(self.mesh)
+                images_k = jax.device_put(images_k, sh)
+                labels_k = jax.device_put(labels_k, sh)
+            valid_k = np.arange(unroll) < n_valid
+            self.state, metrics_k = self.train_loop(
+                self.state, images_k, labels_k, valid_k)
+            return n_valid, metrics_k
+
+        if unroll > 1:
+            groups = ((start, *run_chunk(chunk)) for start, chunk in
+                      _enumerate_steps(chunk_stream(), first_step))
+        else:
+            def per_step_groups():
+                step = first_step
+                for batch in train_iter:
                     images, labels = batch[0], batch[1]
-                    if self.batch_sharding is not None and not hasattr(images, "sharding"):
+                    if (self.batch_sharding is not None
+                            and not hasattr(images, "sharding")):
                         images = jax.device_put(images, self.batch_sharding)
                         labels = jax.device_put(labels, self.batch_sharding)
-                    self.state, metrics = self.train_step(self.state, images, labels)
-                    per_step.append(metrics)
-                if len(per_step) > 1:
-                    metrics_k = jax.tree.map(lambda *ms: jnp.stack(ms), *per_step)
-            steps_since_log += len(batch_list)
-            if profile_dir and end >= profile_start + cfg.profile_steps:
-                jax.device_get(metrics)
+                    self.state, metrics = self.train_step(
+                        self.state, images, labels)
+                    yield step, 1, jax.tree.map(lambda m: m[None], metrics)
+                    step += 1
+
+            groups = per_step_groups()
+
+        for start, n_valid, metrics_k in groups:
+            end = start + n_valid - 1
+            if (profile_dir and not profile_active
+                    and start <= profile_start <= end):
+                jax.profiler.start_trace(profile_dir)
+                profile_active = True
+            steps_since_log += n_valid
+            if profile_active and end >= profile_start + cfg.profile_steps:
+                jax.device_get(metrics_k)
                 jax.profiler.stop_trace()
+                profile_active = False
                 log.info("profiler trace written to %s", profile_dir)
                 profile_dir = ""
 
-            log_hits = [s for s in range(start, end + 1) if s % cfg.log_every == 0]
+            log_hits = [s for s in range(start, end + 1)
+                        if s % cfg.log_every == 0]
             if log_hits:
-                step_idx = log_hits[-1]
-                m = metrics
-                if metrics_k is not None and step_idx != end:
-                    m = jax.tree.map(lambda v: v[step_idx - start], metrics_k)
-                m = jax.device_get(m)
+                ms = jax.device_get(
+                    jax.tree.map(lambda v: v[:n_valid], metrics_k))
                 dt = time.time() - t_last
                 ips = steps_since_log * cfg.batch_size / max(dt, 1e-9)
                 t_last = time.time()
                 steps_since_log = 0
-                log.info(
-                    "step:%5d G_lr:%.6f G_loss:%.5f (mc:%.5f pi:%.5f pa:%.5f) "
-                    "D_lr:%.6f D_loss:%.5f img/s:%.2f",
-                    step_idx, float(self.g_sched(step_idx)),
-                    float(m.get("g_loss", 0.0)),
-                    float(m.get("mc_loss", 0.0)),
-                    float(m.get("pi_loss", 0.0)),
-                    float(m.get("pa_loss", 0.0)),
-                    float(self.d_sched(step_idx)),
-                    float(m.get("d_loss", 0.0)), ips,
-                )
-                if writer is not None:
-                    scalars = {k: float(v) for k, v in m.items()}
-                    scalars["img_per_sec"] = ips
-                    scalars["g_lr"] = float(self.g_sched(step_idx))
-                    writer.write(step_idx, scalars)
+                for step_idx in log_hits:
+                    m = {k: v[step_idx - start] for k, v in ms.items()}
+                    log.info(
+                        "step:%5d G_lr:%.6f G_loss:%.5f (mc:%.5f pi:%.5f pa:%.5f) "
+                        "D_lr:%.6f D_loss:%.5f img/s:%.2f",
+                        step_idx, float(self.g_sched(step_idx)),
+                        float(m.get("g_loss", 0.0)),
+                        float(m.get("mc_loss", 0.0)),
+                        float(m.get("pi_loss", 0.0)),
+                        float(m.get("pa_loss", 0.0)),
+                        float(self.d_sched(step_idx)),
+                        float(m.get("d_loss", 0.0)), ips,
+                    )
+                    if writer is not None:
+                        scalars = {k: float(v) for k, v in m.items()}
+                        scalars["img_per_sec"] = ips
+                        scalars["g_lr"] = float(self.g_sched(step_idx))
+                        writer.write(step_idx, scalars)
 
             eval_hits = [s for s in range(start, end + 1) if cfg.should_eval(s)]
             if val_loader is not None and eval_hits:
@@ -296,7 +340,8 @@ class KDTrainer:
                          step_idx, mean_iu, np.array2string(iu_array, precision=4))
                 if writer is not None:
                     writer.write(step_idx, {"val_mean_iu": mean_iu})
-                self.save_checkpoint(step_idx, mean_iu, is_best=mean_iu > best)
+                self.save_checkpoint(step_idx, mean_iu, is_best=mean_iu > best,
+                                     state_step=end)
                 best = max(best, mean_iu)
         if writer is not None:
             writer.close()
@@ -311,6 +356,23 @@ class KDTrainer:
             "params": self.state.student_params,
             "batch_stats": self.state.student_stats,
         }
+        if whole and self.mesh is not None:
+            # shard the val sweep over the data axis: n_data images per
+            # dispatch, confusion matrices all-reduced on device
+            from structure_knowledge_distillation_tpu.training.evaluate import (
+                evaluate_sharded,
+            )
+
+            n_data = 1
+            for axis in ("dcn", "data"):
+                n_data *= self.mesh.shape.get(axis, 1)
+            if n_data > 1:
+                return evaluate_sharded(
+                    self.student, variables, val_loader, self.cfg.classes_num,
+                    out_size=out_size, batch=n_data,
+                    sharding=self.batch_sharding,
+                    ignore_label=self.cfg.ignore_label,
+                )
         return evaluate_main(
             self.student, variables, val_loader, self.cfg.classes_num,
             out_size=out_size, eval_type="val", whole=whole,
@@ -318,19 +380,26 @@ class KDTrainer:
         )
 
     # ------------------------------------------------------------------- ckpt
-    def save_checkpoint(self, step: int, mean_iu: float, is_best: bool = False):
+    def save_checkpoint(self, step: int, mean_iu: float, is_best: bool = False,
+                        state_step: Optional[int] = None):
+        """`step` is the eval-cadence step (the reference's filename
+        convention, kd_model.py:192); under the device loop the saved state
+        may be up to unroll-1 steps newer — `state_step` records the actual
+        state.step in the metadata so resume bookkeeping is unambiguous."""
         from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
 
         os.makedirs(self.cfg.snapshot_dir, exist_ok=True)
+        state_step = int(state_step if state_step is not None else step)
         path = os.path.join(self.cfg.snapshot_dir, f"CS_scenes_{step}_{mean_iu}")
-        ckpt.save_state(path, self.state, step=step, mean_iu=mean_iu)
+        ckpt.save_state(path, self.state, step=step, mean_iu=mean_iu,
+                        state_step=state_step)
         if is_best:
             # model_best copy in S_ckpt_path, the path load_S_model-style
             # resume reads (reference utils/utils.py:153-157, :108-110)
             best_dir = self.cfg.S_ckpt_path or self.cfg.snapshot_dir
             os.makedirs(best_dir, exist_ok=True)
             ckpt.save_state(os.path.join(best_dir, "model_best"), self.state,
-                            step=step, mean_iu=mean_iu)
+                            step=step, mean_iu=mean_iu, state_step=state_step)
         # async step-indexed checkpoint for auto-resume (try_resume)
         ckpt.save_state_async(self._orbax_dir, self.state, step=step)
         return path

@@ -1,0 +1,423 @@
+"""Composite ONE-STEP parity: the jitted KD train step vs a literal torch
+implementation of `NetModel.optimize_parameters` (reference
+networks/kd_model.py:118-173).
+
+Every loss, the SGD rule, the spectral update count, and each model forward
+are individually parity-tested elsewhere; this test is the composition gate:
+one full step — teacher eval forward, student train forward, the 4-term
+weighted G loss (CE-DSN + λ_pi·Pi + λ_pa·Pa + λ_d·AdvG), the G SGD update,
+then the D loss λ_d·(adv + λ_gp·GP) with its three train-mode D applications
+(D(T), D(S), D(interp)) and the D SGD update — must reproduce the torch
+reference's losses AND post-step parameters. It fails if any λ-weighting,
+detach point, update order, running-stat advance, or spectral-state advance
+diverges.
+
+The torch side is a train-mode functional re-implementation over the
+exported state dicts (same oracle style as test_torch_forward_parity):
+  * ABN train mode: biased batch variance for normalization, γ=|w|+eps,
+    Bessel-corrected running update with momentum 0.1 (reference
+    libs/functions.py:91,209);
+  * SNConv: v=l2n(Wᵀu), u=l2n(Wv) per application with persisted u
+    (reference networks/spectral.py:23-35), σ differentiable through W only;
+  * losses per utils/criterion.py (CE-DSN :168-188, Pi :211-226,
+    Pa :228-245, adv :92-166);
+  * torch.optim.SGD(momentum, weight_decay) == our optax chain
+    (kd_model.py:59-66).
+
+Dropout is disabled (drop_rate=0) on both sides — mask RNG cannot be shared
+across frameworks; dropout PLACEMENT is covered by the structural forward
+parity tests. The GP's α is jax-random-deterministic, so the test computes
+the identical α and feeds it to the torch side.
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from structure_knowledge_distillation_tpu.config import TrainConfig
+from structure_knowledge_distillation_tpu.models import Discriminator, ResPSPNet
+from structure_knowledge_distillation_tpu.training import (
+    checkpoint as ckpt,
+    create_train_state,
+    make_sgd,
+    make_train_step,
+)
+
+EPS = 1e-5
+CLASSES = 7
+
+
+# ---------------------------------------------------------------- torch side
+def _l2n(v):
+    return v / (v.norm() + 1e-12)
+
+
+class TorchNetState:
+    """Exported state dict as live torch tensors (params require grad)."""
+
+    _STATE_LEAVES = ("running_mean", "running_var", "weight_u", "weight_v")
+
+    def __init__(self, sd, trainable: bool):
+        self.t = {}
+        for k, v in sd.items():
+            ten = torch.tensor(np.asarray(v), dtype=torch.float32)
+            is_param = not k.endswith(self._STATE_LEAVES)
+            ten.requires_grad_(trainable and is_param)
+            self.t[k] = ten
+
+    def __getitem__(self, k):
+        return self.t[k]
+
+    def __setitem__(self, k, v):
+        self.t[k] = v
+
+    def params(self):
+        return [p for p in self.t.values() if p.requires_grad]
+
+    def numpy(self):
+        return {k: v.detach().numpy().copy() for k, v in self.t.items()}
+
+
+def _conv_t(st, x, key, stride=1, dilation=1, bias=False):
+    w = st[f"{key}.weight"]
+    b = st[f"{key}.bias"] if bias else None
+    pad = dilation * (w.shape[-1] - 1) // 2
+    return F.conv2d(x, w, b, stride=stride, padding=pad, dilation=dilation)
+
+
+def _abn_t(st, x, key, activation="none", train=False, abs_gamma=True):
+    w, b = st[f"{key}.weight"], st[f"{key}.bias"]
+    gamma = w.abs() + EPS if abs_gamma else w
+    if train:
+        mean = x.mean(dim=(0, 2, 3))
+        var = x.var(dim=(0, 2, 3), unbiased=False)
+        with torch.no_grad():
+            n = x.numel() // x.shape[1]
+            bessel = n / max(n - 1, 1)
+            st[f"{key}.running_mean"].mul_(0.9).add_(0.1 * mean.detach())
+            st[f"{key}.running_var"].mul_(0.9).add_(0.1 * bessel * var.detach())
+    else:
+        mean, var = st[f"{key}.running_mean"], st[f"{key}.running_var"]
+    y = (x - mean[None, :, None, None]) / torch.sqrt(var[None, :, None, None] + EPS)
+    y = y * gamma[None, :, None, None] + b[None, :, None, None]
+    if activation == "leaky_relu":
+        y = F.leaky_relu(y, 0.01)
+    return y
+
+
+def _block_t(st, x, prefix, bottleneck, stride, dilation, has_down, train):
+    if bottleneck:
+        h = F.relu(_abn_t(st, _conv_t(st, x, f"{prefix}.conv1"), f"{prefix}.bn1",
+                          train=train))
+        h = F.relu(_abn_t(st, _conv_t(st, h, f"{prefix}.conv2", stride, dilation),
+                          f"{prefix}.bn2", train=train))
+        h = _abn_t(st, _conv_t(st, h, f"{prefix}.conv3"), f"{prefix}.bn3",
+                   train=train)
+    else:
+        h = F.relu(_abn_t(st, _conv_t(st, x, f"{prefix}.conv1", stride, dilation),
+                          f"{prefix}.bn1", train=train))
+        h = _abn_t(st, _conv_t(st, h, f"{prefix}.conv2", 1, dilation),
+                   f"{prefix}.bn2", train=train)
+    res = x
+    if has_down:
+        res = _abn_t(st, _conv_t(st, x, f"{prefix}.downsample.0", stride),
+                     f"{prefix}.downsample.1", train=train)
+    return F.relu(h + res)
+
+
+def respspnet_t(st, x, block, layers, train):
+    """Train/eval-mode torch functional Res_pspnet
+    (reference networks/pspnet_combine.py:116-191)."""
+    x = F.relu(_abn_t(st, _conv_t(st, x, "conv1", stride=2), "bn1", train=train))
+    x = F.relu(_abn_t(st, _conv_t(st, x, "conv2"), "bn2", train=train))
+    x = F.relu(_abn_t(st, _conv_t(st, x, "conv3"), "bn3", train=train))
+    x = F.max_pool2d(x, 3, 2, 1, ceil_mode=True)
+
+    bottleneck = block == "bottleneck"
+    expansion = 4 if bottleneck else 1
+    inplanes = 128
+    plan = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]
+    feats = []
+    for li, ((planes, stride, dilation), blocks) in enumerate(zip(plan, layers), 1):
+        for bi in range(blocks):
+            has_down = bi == 0 and (stride != 1 or inplanes != planes * expansion)
+            x = _block_t(st, x, f"layer{li}.{bi}", bottleneck,
+                         stride if bi == 0 else 1, dilation, has_down, train)
+            inplanes = planes * expansion
+        feats.append(x)
+    _, _, x3, x4 = feats
+
+    h, w = x4.shape[2], x4.shape[3]
+    priors = []
+    for i, size in enumerate((1, 2, 3, 6)):
+        p = F.adaptive_avg_pool2d(x4, (size, size))
+        p = _abn_t(st, _conv_t(st, p, f"pspmodule.stages.{i}.1"),
+                   f"pspmodule.stages.{i}.2", "leaky_relu", train=train)
+        priors.append(F.interpolate(p, size=(h, w), mode="bilinear",
+                                    align_corners=True))
+    priors.append(x4)
+    y = torch.cat(priors, dim=1)
+    y = _abn_t(st, _conv_t(st, y, "pspmodule.bottleneck.0"),
+               "pspmodule.bottleneck.1", "leaky_relu", train=train)
+    logits = _conv_t(st, y, "head", bias=True)
+
+    d = _abn_t(st, _conv_t(st, x3, "dsn.0", bias=True), "dsn.1", "leaky_relu",
+               train=train)
+    dsn = _conv_t(st, d, "dsn.3", bias=True)
+    return logits, dsn, y
+
+
+def _snconv_t(st, x, prefix):
+    """One power iteration from the persisted u per application
+    (reference networks/spectral.py:23-35); σ carries grad through W only."""
+    w = st[f"{prefix}.0.module.weight_bar"]
+    u = st[f"{prefix}.0.module.weight_u"]
+    b = st[f"{prefix}.0.module.bias"]
+    wm = w.reshape(w.shape[0], -1)
+    with torch.no_grad():
+        v = _l2n(wm.detach().t() @ u)
+        u_new = _l2n(wm.detach() @ v)
+    sigma = u_new @ (wm @ v)
+    st[f"{prefix}.0.module.weight_u"] = u_new
+    st[f"{prefix}.0.module.weight_v"] = v
+    return F.conv2d(x, w / sigma, b, stride=2, padding=1)
+
+
+def _attn_t(st, x, prefix):
+    B, C, H, W = x.shape
+    conv1x1 = lambda t, n: F.conv2d(t, st[f"{prefix}.{n}.weight"],
+                                    st[f"{prefix}.{n}.bias"])
+    pq = conv1x1(x, "query_conv").view(B, -1, H * W).permute(0, 2, 1)
+    pk = conv1x1(x, "key_conv").view(B, -1, H * W)
+    attention = F.softmax(torch.bmm(pq, pk), dim=-1)
+    pv = conv1x1(x, "value_conv").view(B, -1, H * W)
+    out = torch.bmm(pv, attention.permute(0, 2, 1)).view(B, C, H, W)
+    return st[f"{prefix}.gamma"] * out + x
+
+
+def d_forward_t(st, x, image_size, train=True):
+    """Train-mode SAGAN discriminator (reference sagan_models.py:105-168),
+    preprocess mode 1 (stock BatchNorm2d)."""
+    x = _abn_t(st, x, "preprocess_additional", train=train, abs_gamma=False)
+    out = F.leaky_relu(_snconv_t(st, x, "l1"), 0.1)
+    out = F.leaky_relu(_snconv_t(st, out, "l2"), 0.1)
+    out = F.leaky_relu(_snconv_t(st, out, "l3"), 0.1)
+    out = _attn_t(st, out, "attn1")
+    if image_size == 65:
+        out = F.leaky_relu(_snconv_t(st, out, "l4"), 0.1)
+    out = _attn_t(st, out, "attn2")
+    return F.conv2d(out, st["last.0.weight"], st["last.0.bias"])
+
+
+# ------------------------------------------------------------- torch losses
+def criterion_dsn_t(logits, dsn, labels, dsn_weight=0.4):
+    hw = labels.shape[1:]
+    up = lambda t: F.interpolate(t, size=hw, mode="bilinear", align_corners=True)
+    ce = lambda t: F.cross_entropy(up(t), labels, ignore_index=255)
+    return ce(logits) + dsn_weight * ce(dsn)
+
+
+def pixel_wise_t(s_logits, t_logits):
+    _, _, h, w = s_logits.shape
+    p_t = F.softmax(t_logits.detach(), dim=1)
+    logp_s = F.log_softmax(s_logits, dim=1)
+    return (-p_t * logp_s).sum() / (h * w)
+
+
+def pairwise_t(feat_s, feat_t, scale):
+    h, w = feat_t.shape[2], feat_t.shape[3]
+    kh, kw = int(h * scale), int(w * scale)
+    pool = lambda f: F.max_pool2d(f, (kh, kw), (kh, kw), ceil_mode=True)
+    fs, ft = pool(feat_s), pool(feat_t.detach())
+
+    def gram(f):
+        norm = f.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-8
+        f = f / norm.detach()
+        B, C, H, W = f.shape
+        fm = f.reshape(B, C, H * W)
+        return torch.bmm(fm.transpose(1, 2), fm)
+
+    n, _, hh, ww = ft.shape
+    diff = gram(ft).detach() - gram(fs)
+    return diff.pow(2).sum() / ((hh * ww) ** 2) / n
+
+
+def torch_optimize_parameters(st_t, st_s, st_d, images, labels, cfg, alpha):
+    """Literal functional `optimize_parameters` (kd_model.py:118-173 +
+    criterion.py): returns the loss scalars after performing both updates."""
+    g_opt = torch.optim.SGD(st_s.params(), lr=cfg.lr_g, momentum=cfg.momentum,
+                            weight_decay=cfg.weight_decay)
+    d_opt = torch.optim.SGD(st_d.params(), lr=cfg.lr_d, momentum=cfg.momentum,
+                            weight_decay=cfg.weight_decay)
+    imsize = cfg.imsize_for_adv
+
+    with torch.no_grad():
+        t_logits, t_dsn, t_feat = respspnet_t(
+            st_t, images, "bottleneck", (1, 1, 1, 1), train=False)
+    s_logits, s_dsn, s_feat = respspnet_t(
+        st_s, images, "basic", (1, 1, 1, 1), train=True)
+
+    mc = criterion_dsn_t(s_logits, s_dsn, labels)
+    pi = pixel_wise_t(s_logits, t_logits)
+    pa = pairwise_t(s_feat, t_feat, cfg.pool_scale)
+    d_out_s_for_g = d_forward_t(st_d, s_logits, imsize)
+    adv_g = -d_out_s_for_g.mean()
+    g_loss = (mc + cfg.lambda_pi * pi + cfg.lambda_pa * pa
+              + cfg.lambda_d * adv_g)
+    g_opt.zero_grad()
+    d_opt.zero_grad()
+    g_loss.backward()
+    g_opt.step()
+
+    # discriminator_backward: D(T), D(S), then GP on the α-interpolation
+    d_opt.zero_grad()
+    out_t = d_forward_t(st_d, t_logits.detach(), imsize)
+    out_s = d_forward_t(st_d, s_logits.detach(), imsize)
+    d_loss = cfg.lambda_d * (out_s.mean() - out_t.mean())
+    interp = (alpha * t_logits.detach()
+              + (1.0 - alpha) * s_logits.detach()).requires_grad_(True)
+    gp_out = d_forward_t(st_d, interp, imsize)
+    grad = torch.autograd.grad(gp_out.sum(), interp, create_graph=True)[0]
+    gn = grad.reshape(grad.shape[0], -1).norm(dim=1)
+    gp = cfg.lambda_gp * ((gn - 1.0) ** 2).mean()
+    d_loss = d_loss + cfg.lambda_d * gp
+    d_loss.backward()
+    d_opt.step()
+
+    return {"mc_loss": mc.item(), "pi_loss": pi.item(), "pa_loss": pa.item(),
+            "adv_g_loss": adv_g.item(), "g_loss": g_loss.item(),
+            "d_loss": d_loss.item()}
+
+
+# ------------------------------------------------------------------ the test
+def _randomized_vars(rng_np, template):
+    """Conv kernels keep their (already random, variance-scaled) init; 1-D
+    affine/bias leaves are randomized with mixed signs so the γ=|w|+eps
+    convention is exercised in train mode; running means N(0,0.1²), running
+    vars [0.5,1.5); spectral u/v stay l2-normalized."""
+    def param(path, a):
+        if a.ndim == 1 and path[-1].key == "weight":
+            sign = np.where(rng_np.rand(*a.shape) < 0.25, -1.0, 1.0)
+            return jnp.asarray((sign * (rng_np.rand(*a.shape) + 0.5))
+                               .astype(np.float32))
+        if a.ndim == 1:  # biases
+            return jnp.asarray((rng_np.randn(*a.shape) * 0.1).astype(np.float32))
+        return a
+
+    out = {"params": jax.tree_util.tree_map_with_path(param, template["params"])}
+    if "batch_stats" in template:
+        out["batch_stats"] = jax.tree_util.tree_map_with_path(
+            lambda path, a: jnp.asarray(
+                (rng_np.randn(*a.shape) * 0.1).astype(np.float32)
+                if path[-1].key == "mean"
+                else (rng_np.rand(*a.shape) + 0.5).astype(np.float32)),
+            template["batch_stats"])
+    if "spectral" in template:
+        def unit(a):
+            v = rng_np.randn(*a.shape).astype(np.float32)
+            return jnp.asarray(v / (np.linalg.norm(v) + 1e-12))
+        out["spectral"] = jax.tree.map(unit, template["spectral"])
+    return out
+
+
+def test_composite_one_step_matches_torch():
+    cfg = TrainConfig(
+        classes_num=CLASSES, batch_size=2, input_size=(256, 256),
+        imsize_for_adv=33, adv_conv_dim=16, num_steps=100,
+        pi=True, pa=True, ho=True, adv_loss_type="wgan-gp",
+        lambda_pi=10.0, lambda_pa=0.7, lambda_d=0.13, lambda_gp=10.0,
+        pool_scale=0.5, compute_dtype="float32",
+    )
+    teacher = ResPSPNet(block="bottleneck", layers=(1, 1, 1, 1),
+                        num_classes=CLASSES, drop_rate=0.0)
+    student = ResPSPNet(block="basic", layers=(1, 1, 1, 1),
+                        num_classes=CLASSES, drop_rate=0.0)
+    disc = Discriminator(preprocess_mode=1, image_size=cfg.imsize_for_adv,
+                         conv_dim=cfg.adv_conv_dim)
+
+    rng_np = np.random.RandomState(42)
+    key = jax.random.PRNGKey(0)
+    images = rng_np.randn(2, 256, 256, 3).astype(np.float32)
+    labels = rng_np.randint(0, CLASSES, (2, 256, 256)).astype(np.int32)
+    labels[0, :16] = 255  # exercise ignore_index
+
+    t_tmpl = teacher.init(key, jnp.asarray(images[:1]), train=False)
+    s_tmpl = student.init(key, jnp.asarray(images[:1]), train=False)
+    d_tmpl = disc.init(key, jnp.zeros((1, 33, 33, CLASSES)), train=False)
+    t_vars = _randomized_vars(rng_np, t_tmpl)
+    s_vars = _randomized_vars(rng_np, s_tmpl)
+    d_vars = _randomized_vars(rng_np, d_tmpl)
+
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum,
+                    cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum,
+                    cfg.weight_decay)
+    state = create_train_state(jax.random.PRNGKey(7), t_vars, s_vars, d_vars,
+                               g_tx, d_tx)
+
+    # export BEFORE the step (torch starts from identical state)
+    sd_t = ckpt.export_torch_respspnet(t_vars)
+    sd_s = ckpt.export_torch_respspnet(s_vars)
+    sd_d = ckpt.export_torch_discriminator(d_vars)
+
+    # --- JAX step
+    step_fn = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx))
+    new_state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(labels))
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    # --- the identical GP α (jax RNG is deterministic: train_step.py:68-69)
+    step_rng = jax.random.fold_in(state.rng, state.step)
+    _, gp_rng = jax.random.split(step_rng)
+    alpha = torch.tensor(np.asarray(
+        jax.random.uniform(gp_rng, (2, 1, 1, 1), jnp.float32)))
+
+    # --- torch step
+    st_t = TorchNetState(sd_t, trainable=False)
+    st_s = TorchNetState(sd_s, trainable=True)
+    st_d = TorchNetState(sd_d, trainable=True)
+    before_s, before_d = st_s.numpy(), st_d.numpy()
+    t_losses = torch_optimize_parameters(
+        st_t, st_s, st_d,
+        torch.tensor(images.transpose(0, 3, 1, 2)),
+        torch.tensor(labels.astype(np.int64)), cfg, alpha)
+
+    # --- losses agree
+    for k in ("mc_loss", "pi_loss", "pa_loss", "adv_g_loss", "g_loss", "d_loss"):
+        np.testing.assert_allclose(metrics[k], t_losses[k], rtol=2e-3,
+                                   atol=2e-4, err_msg=k)
+
+    # --- post-step state agrees: compare UPDATES (new − old), which is where
+    # a wrong λ, detach, or order shows up at full magnitude
+    after_s = ckpt.export_torch_respspnet(
+        {"params": new_state.student_params,
+         "batch_stats": new_state.student_stats})
+    after_d = ckpt.export_torch_discriminator(
+        {"params": new_state.d_params, "batch_stats": new_state.d_stats,
+         "spectral": new_state.d_spectral})
+    torch_after_s, torch_after_d = st_s.numpy(), st_d.numpy()
+
+    def compare(after_jax, before, torch_after, label):
+        # Per-element: within 6% of the tensor's max update (f32 accumulation
+        # order differs — the JAX PSP bottleneck is the factored form).
+        # Global: relative L2 error of the whole update < 2%, direction
+        # cosine > 0.999 — a wrong λ, detach, or order moves these by O(1).
+        for k in after_jax:
+            dj = after_jax[k] - before[k]
+            dt = torch_after[k] - before[k]
+            scale = max(np.abs(dt).max(), np.abs(dj).max(), 1e-12)
+            np.testing.assert_allclose(
+                dj, dt, rtol=0, atol=max(6e-2 * scale, 1e-7),
+                err_msg=f"{label}:{k}")
+            nt = np.linalg.norm(dt)
+            if nt > 1e-7:
+                rel = float(np.linalg.norm(dj - dt) / nt)
+                assert rel < 2e-2, (label, k, rel)
+                cos = float(np.dot(dj.ravel(), dt.ravel())
+                            / (np.linalg.norm(dj) * nt + 1e-30))
+                assert cos > 0.999, (label, k, cos)
+
+    compare(after_s, before_s, torch_after_s, "student")
+    compare(after_d, before_d, torch_after_d, "discriminator")

@@ -376,3 +376,48 @@ def test_batch_iterator_workers():
     names = [n for b in batches for n in b[3]]
     assert len(set(names)) == 8
     assert batches[0][0].shape == (2, 8, 8, 3)
+
+
+def test_evaluate_sharded_matches_unsharded():
+    """evaluate_sharded over an 8-device data mesh (batched forward, device
+    all-reduced confusion, padded tail group masked via h=w=0) must reproduce
+    evaluate_main's batch-1 fast path exactly."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.ops import ABN
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh,
+    )
+    from structure_knowledge_distillation_tpu.training.evaluate import (
+        evaluate_main, evaluate_sharded,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (4, 4), strides=(4, 4))(x)
+            h = ABN(activation="leaky_relu")(h, not train)
+            return (nn.Conv(5, (1, 1))(h), h)
+
+    model = Tiny()
+    rng = np.random.default_rng(3)
+    # 5 images: one full group of 4 + a padded tail of 1
+    items = []
+    for i in range(5):
+        img = rng.normal(0, 50, (1, 64, 64, 3)).astype(np.float32)
+        lab = rng.integers(0, 5, (1, 64, 64)).astype(np.int32)
+        lab[0, :3] = 255
+        # ragged true sizes exercise the per-image crop mask
+        items.append((img, lab, np.array([[60 - i, 64 - i, 3]]), [f"i{i}"]))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(items[0][0]),
+                           train=False)
+
+    ref_iu, ref_arr = evaluate_main(model, variables, items, 5,
+                                    out_size=(64, 64), eval_type="val")
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    iu, arr = evaluate_sharded(model, variables, items, 5, out_size=(64, 64),
+                               batch=4, sharding=batch_sharding(mesh))
+    np.testing.assert_allclose(iu, ref_iu, rtol=1e-6)
+    np.testing.assert_allclose(arr, ref_arr, rtol=1e-6)

@@ -560,3 +560,76 @@ def test_multislice_dcn_invariance():
                     jax.tree.leaves(ref_state.student_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_device_loop_valid_mask_pads_tail():
+    """A padded chunk with valid=(1,1,0) must equal running 2 real steps:
+    masked iterations leave the carried state untouched (lax.cond identity
+    branch) and emit zeroed metrics. This is what lets the tail of a run
+    whose step count is not a multiple of `unroll` reuse the one compiled
+    loop program (no end-of-run recompile)."""
+    from structure_knowledge_distillation_tpu.training import make_train_loop
+
+    cfg = make_cfg(ho=True, adv_loss_type="wgan-gp")
+    state, step_fn, images, labels = build(cfg)
+    K = 3
+    key = jax.random.PRNGKey(23)
+    images_k = jax.random.normal(key, (K,) + images.shape, jnp.float32)
+    labels_k = jax.random.randint(key, (K,) + labels.shape, 0, CLASSES)
+
+    seq_state = state
+    for i in range(2):
+        seq_state, _ = step_fn(seq_state, images_k[i], labels_k[i])
+
+    state2, step_fn2, _, _ = build(cfg)
+    loop_fn = jax.jit(make_train_loop(step_fn2, K))
+    valid = np.array([True, True, False])
+    loop_state, metrics_k = loop_fn(state2, images_k, labels_k, valid)
+
+    assert int(loop_state.step) == int(seq_state.step) == 2
+    for a, b in zip(jax.tree.leaves(seq_state.student_params),
+                    jax.tree.leaves(loop_state.student_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(seq_state.d_spectral),
+                    jax.tree.leaves(loop_state.d_spectral)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # the masked third slot reports zeroed metrics
+    assert float(metrics_k["g_loss"][2]) == 0.0
+    assert float(metrics_k["g_loss"][1]) != 0.0
+
+
+def test_fit_unrolled_prechunked_single_program(tmp_path):
+    """fit() with unroll>1 fed the cli.train pipeline (host-side
+    chunk_batches -> device_prefetch) must (a) consume pre-stacked Chunks
+    without restacking, (b) never touch the per-step jitted program — even
+    for the padded tail chunk — and (c) log EVERY log_every hit, not just
+    the last one per chunk."""
+    from structure_knowledge_distillation_tpu.data import (
+        batch_iterator, chunk_batches, device_prefetch,
+    )
+    from structure_knowledge_distillation_tpu.data.synthetic import (
+        SyntheticSegDataset,
+    )
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(128, 128), num_steps=5,
+        teacher_layers=(1, 1, 1, 1), ho=False, compute_dtype="float32",
+        snapshot_dir=str(tmp_path / "snap"), log_path=str(tmp_path / "log"),
+        log_every=1, eval_every=0, unroll_steps=2,
+    )
+    trainer = KDTrainer(cfg)
+    trainer.train_step = None  # any per-step dispatch would TypeError
+    ds = SyntheticSegDataset(length=10, crop_size=(128, 128))
+    train_iter = device_prefetch(
+        chunk_batches(batch_iterator(ds, 2, shuffle=False), trainer.unroll))
+    trainer.fit(train_iter, None, eval_out_size=(128, 128))
+    assert int(trainer.state.step) == 5  # padded tail step did not advance
+
+    import json
+
+    with open(tmp_path / "log" / "scalars.jsonl") as f:
+        rows = [json.loads(line) for line in f]
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
