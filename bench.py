@@ -27,7 +27,8 @@ BASELINE_IMG_PER_SEC = 22.0
 def main(batch_size: int = 8, image_size: int = 512, warmup: int = 20,
          steps: int = 40, compute_dtype: str = "bfloat16",
          pi: bool = True, pa: bool = True, ho: bool = True,
-         teacher_layers=(3, 4, 23, 3), unroll: int = 20) -> dict:
+         teacher_layers=(3, 4, 23, 3), unroll: int = 20,
+         flat_sgd: bool = False) -> dict:
     import jax
 
     # Persistent compile cache: the full-recipe step takes ~6-7 min to
@@ -81,8 +82,10 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 20,
     logits_hw = 65 if image_size == 512 else image_size // 8 + 1
     d_vars = disc.init(key, jnp.zeros((1, logits_hw, logits_hw, 19)), train=False)
 
-    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
-    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum,
+                    cfg.weight_decay, flat=flat_sgd)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum,
+                    cfg.weight_decay, flat=flat_sgd)
     state = create_train_state(key, t_vars, s_vars, d_vars, g_tx, d_tx)
 
     step_fn = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
@@ -131,4 +134,6 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 20,
 
 
 if __name__ == "__main__":
-    print(json.dumps(main()))
+    import sys
+
+    print(json.dumps(main(flat_sgd="--flat-sgd" in sys.argv)))

@@ -44,6 +44,10 @@ def main():
     p.add_argument("--root", default="/tmp/sskd_realdata", type=str,
                    help="fixture dir (persisted so repeat runs skip decode)")
     p.add_argument("--teacher-layers", default="3,4,23,3", type=str)
+    p.add_argument("--wire", default="bf16", choices=("f32", "bf16", "u8"),
+                   help="host→device image format: f32 (naive), bf16 "
+                        "(lossless vs the model's input cast), u8 "
+                        "(re-quantized bytes, de-quantized on device)")
     a = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sskd_jax_cache")
@@ -80,11 +84,21 @@ def main():
     )
     trainer = KDTrainer(cfg)
 
+    host_iter = batch_iterator(ds, cfg.batch_size, shuffle=True, seed=0,
+                               num_workers=a.workers)
+    if a.wire != "f32":
+        from structure_knowledge_distillation_tpu.data import cast_batches
+
+        if a.wire == "u8":
+            host_iter = cast_batches(
+                host_iter, "uint8", "uint8",
+                image_mean=np.asarray(cfg.input_mean_bgr, np.float32))
+        else:
+            import ml_dtypes
+
+            host_iter = cast_batches(host_iter, ml_dtypes.bfloat16, "uint8")
     train_iter = device_prefetch(
-        chunk_batches(
-            batch_iterator(ds, cfg.batch_size, shuffle=True, seed=0,
-                           num_workers=a.workers),
-            a.unroll),
+        chunk_batches(host_iter, a.unroll),
         sharding=trainer.batch_sharding,
     )
 
@@ -123,6 +137,7 @@ def main():
         "workers": a.workers,
         "warmup_s": round(t_start - t0, 1),
         "g_loss": round(g_loss, 4),
+        "wire": a.wire,
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

@@ -14,6 +14,7 @@ import logging
 import os
 
 import jax
+import numpy as np
 
 from structure_knowledge_distillation_tpu.config import TrainConfig
 from structure_knowledge_distillation_tpu.data import (
@@ -194,6 +195,29 @@ def main(argv=None):
 
     host_iter = batch_iterator(train_ds, cfg.batch_size, shuffle=True,
                                seed=cfg.seed, num_workers=cfg.num_workers)
+    # narrow the host→device wire format (see cast_batches): bf16 images
+    # match the model's own input cast; uint8 labels fit every supported
+    # dataset (≤254 classes + ignore 255); --wire-format u8 re-quantizes
+    # images to raw bytes (de-quantized on device with the dataset mean)
+    from structure_knowledge_distillation_tpu.data import cast_batches
+
+    image_dtype, image_mean = None, None
+    if cfg.wire_format == "u8":
+        image_dtype = "uint8"
+        if cfg.data_set == "camvid":
+            from structure_knowledge_distillation_tpu.data import CAMVID_MEAN
+
+            cfg.input_mean_bgr = tuple(float(m) for m in CAMVID_MEAN)
+        image_mean = np.asarray(cfg.input_mean_bgr, np.float32)
+    elif cfg.wire_format != "f32" and cfg.compute_dtype == "bfloat16":
+        import ml_dtypes
+
+        image_dtype = ml_dtypes.bfloat16
+    label_dtype = ("uint8" if cfg.classes_num <= 254 and cfg.ignore_label <= 255
+                   and cfg.wire_format != "f32" else None)
+    if image_dtype is not None or label_dtype is not None:
+        host_iter = cast_batches(host_iter, image_dtype, label_dtype,
+                                 image_mean=image_mean)
     if trainer.unroll > 1:
         # Stack unroll-sized chunks on the host, then transfer once — the
         # scanned device loop consumes (unroll, B, ...) arrays directly.

@@ -96,6 +96,15 @@ class TrainConfig:
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "bfloat16"  # bfloat16 | float32 for conv compute
     fused_ce: str = "auto"  # auto (Pallas kernel on TPU) | true | false
+    flat_sgd: bool = False  # single-vector SGD update (fewer tiny dispatches)
+    # host→device wire format: auto = bf16 images + uint8 labels under bf16
+    # compute; u8 = re-quantized uint8 images (another 2x; exact for never-
+    # padded crops, pad pixels round by <0.5/255); f32 = no narrowing
+    wire_format: str = "auto"
+    # BGR mean used to re-quantize/de-quantize u8-wire images on device
+    # (cityscapes/voc value; cli.train swaps in the camvid mean)
+    input_mean_bgr: Tuple[float, float, float] = (104.00698793, 116.66876762,
+                                                  122.67891434)
     num_data_shards: int = 1  # data-parallel mesh size (per slice)
     num_model_shards: int = 1  # tensor-parallel mesh size (teacher/student channels)
     num_slices: int = 1  # TPU slices (dcn mesh axis; cross-slice data parallel)
@@ -184,6 +193,9 @@ class TrainConfig:
         p.add_argument("--ohem-min-kept", default=cls.ohem_min_kept, type=int)
         p.add_argument("--compute-dtype", default=cls.compute_dtype, type=str)
         p.add_argument("--fused-ce", default=cls.fused_ce, type=str)
+        p.add_argument("--flat-sgd", default=cls.flat_sgd, type=str2bool)
+        p.add_argument("--wire-format", default=cls.wire_format, type=str,
+                       choices=("auto", "u8", "f32"))
         p.add_argument("--num-data-shards", default=1, type=int)
         p.add_argument("--num-model-shards", default=1, type=int)
         p.add_argument("--num-slices", default=1, type=int)

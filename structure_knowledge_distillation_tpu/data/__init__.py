@@ -9,6 +9,7 @@ from structure_knowledge_distillation_tpu.data.cityscapes import (
 from structure_knowledge_distillation_tpu.data.camvid import CAMVID_MEAN, CamVidDataset
 from structure_knowledge_distillation_tpu.data.prefetch import (
     Chunk,
+    cast_batches,
     chunk_batches,
     device_prefetch,
 )
@@ -33,6 +34,7 @@ from structure_knowledge_distillation_tpu.data.synthetic import (
 __all__ = [
     "DATASET_EVAL_DEFAULTS",
     "Chunk",
+    "cast_batches",
     "chunk_batches",
     "IMG_MEAN_BGR",
     "CityscapesDataset",

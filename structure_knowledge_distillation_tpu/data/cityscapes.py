@@ -322,10 +322,17 @@ def batch_iterator(
         return
 
     import collections
+    import multiprocessing
     from concurrent.futures import ProcessPoolExecutor
 
+    # spawn, NOT fork: the training process is JAX-multithreaded (and on the
+    # real chip holds a live grpc TPU client) by the time the loader starts —
+    # forked children inherit copied-while-locked mutexes and deadlock
+    # (observed: workers wedge after the first decode). Spawned children
+    # re-import cleanly; the dataset object ships via the initializer.
     with ProcessPoolExecutor(num_workers, initializer=_worker_init,
-                             initargs=(dataset,)) as pool:
+                             initargs=(dataset,),
+                             mp_context=multiprocessing.get_context("spawn")) as pool:
         pending: "collections.deque" = collections.deque()
         it = index_batches()
         try:

@@ -15,7 +15,39 @@ from typing import Iterator, NamedTuple
 import jax
 import numpy as np
 
-__all__ = ["device_prefetch", "Chunk", "chunk_batches"]
+__all__ = ["device_prefetch", "Chunk", "chunk_batches", "cast_batches"]
+
+
+def cast_batches(iterator: Iterator, image_dtype=None, label_dtype=None,
+                 image_mean=None) -> Iterator:
+    """Narrow the wire format of (images, labels, ...) batches on the host.
+
+    With bf16 compute the model's first op casts f32 inputs to bf16 anyway
+    (models/resnet_pspnet.py:336) — casting on the host instead is
+    bit-identical and HALVES the bytes crossing host→device (and, with
+    uint8 labels — valid whenever classes+ignore fit in a byte — cuts the
+    label stream 4×). On this environment's ~25 MB/s relay that is the
+    difference between a transfer-bound and a compute-bound step; on real
+    PCIe hosts it halves input DMA traffic. The losses cast labels back to
+    int32 on device (losses/task.py:30).
+
+    With `image_mean` set and image_dtype uint8, the mean-subtracted f32
+    crop is re-quantized to its original byte value (x + mean rounds back to
+    the exact uint8 the augmentation produced — integers survive the f32
+    subtract) and the train step re-subtracts the mean on device: another
+    2× off the wire. Only pad pixels (value 0.0 == "exactly mean", which no
+    byte represents) round, by < 0.5/255 — and flagship 512² Cityscapes
+    crops never pad (min scale 0.7 of 1024-high frames)."""
+    for b in iterator:
+        images, labels, *rest = b
+        if image_dtype is not None:
+            images = np.asarray(images)
+            if image_mean is not None and np.dtype(image_dtype) == np.uint8:
+                images = np.clip(np.rint(images + image_mean), 0, 255)
+            images = images.astype(image_dtype)
+        if label_dtype is not None:
+            labels = np.asarray(labels).astype(label_dtype)
+        yield (images, labels, *rest)
 
 
 class Chunk(NamedTuple):

@@ -81,7 +81,11 @@ void skd_augment(const uint8_t* img, const uint8_t* label,
       const float w11 = wy * wx;
       for (int c = 0; c < 3; ++c) {
         const float v = w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c];
-        op[c] = v - mean[c];
+        // round to uint8 like cv2.resize on a uint8 image does BEFORE the
+        // float cast + mean subtract (reference dataset/datasets.py:159,182)
+        // — also makes every pixel integer−mean, so the u8 wire format
+        // (data/prefetch.py cast_batches) round-trips exactly.
+        op[c] = nearbyintf(v) - mean[c];
       }
       if (out_label && label) {
         const int nx = std::min((int)(rx * sx), src_w - 1);

@@ -14,14 +14,16 @@ buffer, update = −lr·buf.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
-__all__ = ["KDTrainState", "poly_schedule", "make_sgd", "create_train_state"]
+__all__ = ["KDTrainState", "poly_schedule", "make_sgd", "make_flat_sgd",
+           "create_train_state"]
 
 
 def poly_schedule(base_lr: float, num_steps: int, power: float) -> Callable:
@@ -36,12 +38,58 @@ def poly_schedule(base_lr: float, num_steps: int, power: float) -> Callable:
 
 
 def make_sgd(base_lr: float, num_steps: int, power: float, momentum: float,
-             weight_decay: float) -> optax.GradientTransformation:
+             weight_decay: float, flat: bool = False) -> optax.GradientTransformation:
+    if flat:
+        return make_flat_sgd(base_lr, num_steps, power, momentum, weight_decay)
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.sgd(learning_rate=poly_schedule(base_lr, num_steps, power),
                   momentum=momentum),
     )
+
+
+class FlatSGDState(NamedTuple):
+    count: jnp.ndarray  # schedule step (same role as ScaleByScheduleState)
+    buf: jnp.ndarray    # single f32 momentum vector over all leaves
+
+
+def make_flat_sgd(base_lr: float, num_steps: int, power: float,
+                  momentum: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch-SGD semantics with ONE momentum vector for the whole tree.
+
+    The per-leaf optax chain lowers to ~5 tiny XLA ops per parameter leaf
+    (~900 sub-5µs dispatches per train step across both optimizers —
+    profiled as ~1 ms of launch overhead on v5e). Concatenating the raveled
+    gradients once and doing the decay+momentum+lr math as three fused
+    full-vector ops trades ~0.1 ms of extra HBM traffic for that overhead.
+    Numerically identical to `optax.chain(add_decayed_weights, sgd)` (decay
+    added to the gradient BEFORE the momentum buffer, update = −lr·buf,
+    reference kd_model.py:59-66) — regression-tested against the per-leaf
+    chain leaf-for-leaf."""
+    sched = poly_schedule(base_lr, num_steps, power)
+
+    def init(params):
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        return FlatSGDState(jnp.zeros((), jnp.int32), jnp.zeros((n,), jnp.float32))
+
+    def update(grads, state, params):
+        g_leaves, treedef = jax.tree.flatten(grads)
+        p_leaves = jax.tree.leaves(params)
+        flat_g = jnp.concatenate([g.ravel().astype(jnp.float32)
+                                  for g in g_leaves])
+        flat_p = jnp.concatenate([p.ravel().astype(jnp.float32)
+                                  for p in p_leaves])
+        buf = flat_g + weight_decay * flat_p + momentum * state.buf
+        flat_u = -sched(state.count) * buf
+        updates, off = [], 0
+        for g in g_leaves:
+            n = int(np.prod(g.shape))
+            updates.append(flat_u[off:off + n].reshape(g.shape).astype(g.dtype))
+            off += n
+        return (jax.tree.unflatten(treedef, updates),
+                FlatSGDState(state.count + 1, buf))
+
+    return optax.GradientTransformation(init, update)
 
 
 class KDTrainState(struct.PyTreeNode):

@@ -65,6 +65,16 @@ def make_train_step(
     """Builds the (jittable) train step for a TrainConfig and three modules."""
 
     def train_step(state, images: jnp.ndarray, labels: jnp.ndarray) -> Tuple[Any, Metrics]:
+        # labels may arrive in the uint8 wire format (data.cast_batches);
+        # widen once on device. u8-wire images carry the raw byte values —
+        # re-subtract the BGR mean the host re-quantized away.
+        labels = labels.astype(jnp.int32)
+        if images.dtype == jnp.uint8:
+            mean = jnp.asarray(
+                getattr(cfg, "input_mean_bgr",
+                        (104.00698793, 116.66876762, 122.67891434)),
+                jnp.float32)
+            images = images.astype(jnp.float32) - mean
         step_rng = jax.random.fold_in(state.rng, state.step)
         drop_rng, gp_rng = jax.random.split(step_rng)
 

@@ -94,10 +94,11 @@ class KDTrainer:
                 kd, jnp.zeros((1, adv, adv, cfg.classes_num), jnp.float32), train=False
             )
 
+        flat = bool(getattr(cfg, "flat_sgd", False))
         self.g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum,
-                             cfg.weight_decay)
+                             cfg.weight_decay, flat=flat)
         self.d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum,
-                             cfg.weight_decay)
+                             cfg.weight_decay, flat=flat)
         self.state = create_train_state(rng, teacher_vars, student_vars, d_vars,
                                         self.g_tx, self.d_tx, last_step=cfg.last_step)
 

@@ -421,3 +421,58 @@ def test_evaluate_sharded_matches_unsharded():
                                batch=4, sharding=batch_sharding(mesh))
     np.testing.assert_allclose(iu, ref_iu, rtol=1e-6)
     np.testing.assert_allclose(arr, ref_arr, rtol=1e-6)
+
+
+def test_narrow_wire_format_is_lossless():
+    """cast_batches' bf16-image / uint8-label wire format must be exactly
+    equivalent on device: the bf16 model casts f32 inputs to bf16 as its
+    first op anyway, and the losses widen labels back to int32."""
+    import jax
+    import ml_dtypes
+
+    from structure_knowledge_distillation_tpu.data import cast_batches
+    from structure_knowledge_distillation_tpu.losses import cross_entropy_ignore
+    from structure_knowledge_distillation_tpu.models import ResPSPNet
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 60, (1, 64, 64, 3)).astype(np.float32)
+    lab = rng.integers(0, 7, (1, 64, 64)).astype(np.int32)
+    lab[0, :5] = 255
+
+    [(img_n, lab_n)] = list(cast_batches([(img, lab)], ml_dtypes.bfloat16,
+                                         "uint8"))
+    assert img_n.dtype == ml_dtypes.bfloat16 and lab_n.dtype == np.uint8
+
+    model = ResPSPNet(block="basic", layers=(1, 1, 1, 1), num_classes=7,
+                      dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img), train=False)
+    ref = model.apply(variables, jnp.asarray(img), train=False)[0]
+    got = model.apply(variables, jnp.asarray(img_n), train=False)[0]
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(got, np.float32))
+
+    logits = jnp.asarray(rng.normal(size=(1, 64, 64, 7)).astype(np.float32))
+    ce_ref = float(cross_entropy_ignore(logits, jnp.asarray(lab)))
+    ce_got = float(cross_entropy_ignore(logits, jnp.asarray(lab_n)))
+    assert ce_ref == ce_got
+
+
+def test_u8_wire_roundtrip_exact_for_unpadded_crops():
+    """u8 wire: host re-quantizes (x + mean) to the original byte; the train
+    step's device-side de-quantization (u8 - mean in f32) must reproduce the
+    f32 path EXACTLY for crops without pad pixels."""
+    from structure_knowledge_distillation_tpu.data import cast_batches
+
+    mean = np.array((104.00698793, 116.66876762, 122.67891434), np.float32)
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, (2, 16, 16, 3)).astype(np.float32)
+    img = raw - mean  # what the augmentation pipeline emits
+    lab = rng.integers(0, 19, (2, 16, 16)).astype(np.int32)
+
+    [(img_u8, lab_u8)] = list(cast_batches([(img, lab)], "uint8", "uint8",
+                                           image_mean=mean))
+    assert img_u8.dtype == np.uint8
+    np.testing.assert_array_equal(img_u8, raw.astype(np.uint8))
+    # device-side dequant (train_step.py): u8 -> f32 - mean == original
+    dequant = img_u8.astype(np.float32) - mean
+    np.testing.assert_array_equal(dequant, img)

@@ -633,3 +633,42 @@ def test_fit_unrolled_prechunked_single_program(tmp_path):
     with open(tmp_path / "log" / "scalars.jsonl") as f:
         rows = [json.loads(line) for line in f]
     assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_flat_sgd_matches_optax_chain():
+    """make_flat_sgd (one concatenated momentum vector, 3 fused vector ops)
+    must reproduce the per-leaf optax chain leaf-for-leaf over several steps,
+    including the poly-lr schedule count and torch decay-before-momentum."""
+    import optax
+
+    from structure_knowledge_distillation_tpu.training.train_state import (
+        make_flat_sgd,
+    )
+
+    rng = np.random.default_rng(5)
+    params = {
+        "a": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)), jnp.float32),
+              "bias": jnp.asarray(rng.normal(size=(8,)), jnp.float32)},
+        "b": {"weight": jnp.asarray(rng.normal(size=(8,)), jnp.float32)},
+    }
+    args = (0.01, 10, 0.9, 0.9, 5e-4)  # lr, steps, power, momentum, wd
+    ref_tx = make_sgd(*args)
+    flat_tx = make_flat_sgd(*args)
+    ref_state, flat_state = ref_tx.init(params), flat_tx.init(params)
+    p_ref = p_flat = params
+    for step in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), p_ref)
+        u_ref, ref_state = ref_tx.update(grads, ref_state, p_ref)
+        u_flat, flat_state = flat_tx.update(grads, flat_state, p_flat)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    # resume offset works through _set_schedule_count
+    from structure_knowledge_distillation_tpu.training.train_state import (
+        _set_schedule_count,
+    )
+
+    assert int(_set_schedule_count(flat_state, 7).count) == 7
