@@ -50,8 +50,12 @@ def build_datasets(cfg: TrainConfig):
         )
         return train, val
     if cfg.data_set == "camvid":
-        from structure_knowledge_distillation_tpu.data import CamVidDataset
+        from structure_knowledge_distillation_tpu.data import (
+            CAMVID_MEAN,
+            CamVidDataset,
+        )
 
+        cfg.input_mean_bgr = tuple(float(m) for m in CAMVID_MEAN)
         train = CamVidDataset(
             cfg.data_dir, cfg.data_list, max_iters=cfg.num_steps * cfg.batch_size,
             crop_size=cfg.input_size, scale=cfg.random_scale,
@@ -204,10 +208,6 @@ def main(argv=None):
     image_dtype, image_mean = None, None
     if cfg.wire_format == "u8":
         image_dtype = "uint8"
-        if cfg.data_set == "camvid":
-            from structure_knowledge_distillation_tpu.data import CAMVID_MEAN
-
-            cfg.input_mean_bgr = tuple(float(m) for m in CAMVID_MEAN)
         image_mean = np.asarray(cfg.input_mean_bgr, np.float32)
     elif cfg.wire_format != "f32" and cfg.compute_dtype == "bfloat16":
         import ml_dtypes

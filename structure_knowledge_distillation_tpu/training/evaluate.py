@@ -88,19 +88,57 @@ def make_predictor(model, out_size: Tuple[int, int]) -> Callable:
     return predict
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_eval_fn(maker, model, out_size, num_classes, ignore_label,
+                    mean_tuple):
+    """Memoize the jitted eval programs across evaluate_main/evaluate_sharded
+    calls. A fresh `jax.jit` wrapper per call means a fresh trace+compile —
+    on the real chip that is a ~minute of recompilation at EVERY in-training
+    eval. flax Modules are frozen dataclasses, so (maker, model, …) is a
+    sound cache key."""
+    mean = np.asarray(mean_tuple, np.float32) if mean_tuple is not None else None
+    return maker(model, out_size, num_classes, ignore_label, input_mean=mean)
+
+
+def _mean_key(input_mean):
+    return tuple(float(m) for m in input_mean) if input_mean is not None else None
+
+
+def _quantize_wire(image: np.ndarray, mean) -> np.ndarray:
+    """Host side of the u8 eval wire: integer−mean pixels (every unscaled,
+    unpadded val frame) round-trip exactly through (x + mean) → uint8.
+
+    One fused add + truncating cast (x + mean + 0.5 floors to round-half-up;
+    values are in [0,255] by construction) — rint+clip cost ~4 numpy passes
+    over a 24 MB frame on the 1-core host, which ate the transfer saving."""
+    mean05 = np.asarray(mean, np.float32) + np.float32(0.5)
+    return (np.asarray(image) + mean05).astype(np.uint8)
+
+
+def _dequantize_wire(image: jnp.ndarray, mean) -> jnp.ndarray:
+    if image.dtype == jnp.uint8 and mean is not None:
+        return image.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)
+    return image
+
+
 def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
-                     ignore_label: int = 255) -> Callable:
+                     ignore_label: int = 255, input_mean=None) -> Callable:
     """Jitted forward + upsample + argmax + confusion, all on device.
 
     The default val path (one scale, no flip) never moves the upsampled
     logits to the host — only the uint8 prediction (for PNGs) and the (C,C)
     confusion counts. Versus shipping (H,W,C) f32 logits per image this cuts
     the device→host transfer ~80× and removes the host argmax.
+
+    With `input_mean` set, images arrive as re-quantized uint8 (4× less
+    host→device traffic — a full-res Cityscapes frame is 24 MB f32) and are
+    de-quantized on device; exact for unscaled/unpadded val frames.
     """
 
     @jax.jit
     def run(variables, image: jnp.ndarray, label: jnp.ndarray,
             h: jnp.ndarray, w: jnp.ndarray):
+        image = _dequantize_wire(image, input_mean)
         preds = model.apply(variables, image, train=False)
         logits = preds[0] if isinstance(preds, (tuple, list)) else preds
         from structure_knowledge_distillation_tpu.ops.pallas_eval import (
@@ -131,7 +169,7 @@ def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
 
 
 def make_fast_val_batch_fn(model, out_size: Tuple[int, int], num_classes: int,
-                           ignore_label: int = 255) -> Callable:
+                           ignore_label: int = 255, input_mean=None) -> Callable:
     """Batched fast-val: forward + upsample + argmax + confusion for a WHOLE
     group of images in one dispatch. With the batch sharded on the mesh's
     data axis, each device evaluates its own images and the (C,C) confusion
@@ -145,6 +183,7 @@ def make_fast_val_batch_fn(model, out_size: Tuple[int, int], num_classes: int,
     @jax.jit
     def run(variables, images: jnp.ndarray, labels: jnp.ndarray,
             hs: jnp.ndarray, ws: jnp.ndarray):
+        images = _dequantize_wire(images, input_mean)
         preds = model.apply(variables, images, train=False)
         logits = preds[0] if isinstance(preds, (tuple, list)) else preds
         up = resize_bilinear_align_corners(logits.astype(jnp.float32), out_size)
@@ -169,23 +208,32 @@ def evaluate_sharded(
     batch: int = 8,
     sharding=None,
     ignore_label: int = 255,
+    input_mean=None,
 ):
     """Data-parallel whole-image val sweep (fast path only: one scale, no
     flip, no PNGs — exactly the in-training eval). Groups `batch` images per
     dispatch; the tail group is padded with masked slots. Returns
-    (mean_IU, IU_array) like `evaluate_main`."""
-    fn = make_fast_val_batch_fn(model, out_size, num_classes, ignore_label)
+    (mean_IU, IU_array) like `evaluate_main`. `input_mean` enables the u8
+    image wire (see make_fast_val_fn)."""
+    fn = _cached_eval_fn(make_fast_val_batch_fn, model, tuple(out_size),
+                         num_classes, ignore_label, _mean_key(input_mean))
     conf = np.zeros((num_classes, num_classes), np.float64)
+    conf_dev_acc = None
     buf = []
+    narrow_labels = num_classes <= 254 and ignore_label <= 255
 
     def flush():
-        nonlocal conf
+        nonlocal conf_dev_acc
         if not buf:
             return
         n = len(buf)
         pad = batch - n
         images = np.stack([b[0] for b in buf] + [buf[-1][0]] * pad)
         labels = np.stack([b[1] for b in buf] + [buf[-1][1]] * pad)
+        if input_mean is not None:
+            images = _quantize_wire(images, input_mean)
+        if narrow_labels:
+            labels = labels.astype(np.uint8)
         hs = np.array([b[2] for b in buf] + [0] * pad, np.int32)
         ws = np.array([b[3] for b in buf] + [0] * pad, np.int32)
         if sharding is not None:
@@ -193,7 +241,9 @@ def evaluate_sharded(
             labels = jax.device_put(labels, sharding)
         _, conf_dev = fn(variables, images, labels, jnp.asarray(hs),
                          jnp.asarray(ws))
-        conf += np.asarray(conf_dev, np.float64)
+        # device-side accumulation: no per-group fetch fence (see
+        # evaluate_main), one transfer at the end of the sweep
+        conf_dev_acc = conf_dev if conf_dev_acc is None else conf_dev_acc + conf_dev
         buf.clear()
 
     for item in loader:
@@ -205,6 +255,8 @@ def evaluate_sharded(
             if len(buf) == batch:
                 flush()
     flush()
+    if conf_dev_acc is not None:
+        conf += np.asarray(conf_dev_acc, np.float64)
     return iu_from_confusion(conf)
 
 
@@ -276,12 +328,19 @@ def evaluate_main(
     flip: bool = False,
     ignore_label: int = 255,
     remap_train_ids: bool = True,
+    input_mean=None,
 ):
-    """Returns (mean_IU, IU_array) for 'val'; writes PNGs if output_dir set."""
+    """Returns (mean_IU, IU_array) for 'val'; writes PNGs if output_dir set.
+
+    `input_mean` (fast path only) switches the host→device image transfer to
+    re-quantized uint8 — exact for unscaled/unpadded val frames, 4× less
+    traffic (see make_fast_val_fn)."""
     scales = tuple(scales)
     fast_path = (whole and scales == (1.0,) and not flip and eval_type == "val")
     if fast_path:
-        fast_fn = make_fast_val_fn(model, out_size, num_classes, ignore_label)
+        fast_fn = _cached_eval_fn(make_fast_val_fn, model, tuple(out_size),
+                                  num_classes, ignore_label,
+                                  _mean_key(input_mean))
     else:
         predictor = make_predictor(model, out_size)
         predict = lambda img: predictor(variables, jnp.asarray(img))
@@ -292,6 +351,11 @@ def evaluate_main(
         predict_tile = lambda img: tile_predictor(variables, jnp.asarray(img))
 
     conf = np.zeros((num_classes, num_classes), np.float64)
+    # fast path: accumulate confusion ON DEVICE and fetch once at the end —
+    # a per-image fetch fences the async dispatch stream, serializing every
+    # image's host→device transfer behind the previous forward (measured:
+    # the fence, not the device compute, dominated the full-res sweep wall)
+    conf_dev_acc = None
     for batch in loader:
         if eval_type == "val":
             image, label, size, name = batch
@@ -301,10 +365,16 @@ def evaluate_main(
 
         if fast_path:
             h, w = int(size[0][0]), int(size[0][1])
+            if input_mean is not None:
+                image = _quantize_wire(image, input_mean)
+            lab0 = np.asarray(label[0])
+            if num_classes <= 254 and ignore_label <= 255:
+                lab0 = lab0.astype(np.uint8)
             pred_dev, conf_dev = fast_fn(variables, jnp.asarray(image),
-                                         jnp.asarray(label[0]),
+                                         jnp.asarray(lab0),
                                          jnp.int32(h), jnp.int32(w))
-            conf += np.asarray(conf_dev, np.float64)
+            conf_dev_acc = (conf_dev if conf_dev_acc is None
+                            else conf_dev_acc + conf_dev)
             if output_dir is not None:
                 seg_pred = np.asarray(pred_dev)
                 from PIL import Image as PILImage
@@ -342,6 +412,8 @@ def evaluate_main(
                                  num_classes, ignore_label)
             )
 
+    if conf_dev_acc is not None:
+        conf += np.asarray(conf_dev_acc, np.float64)
     if eval_type == "val":
         return iu_from_confusion(conf)
     return None, None

@@ -357,6 +357,16 @@ class KDTrainer:
             "params": self.state.student_params,
             "batch_stats": self.state.student_stats,
         }
+        # u8 image wire for the val sweep: exact for unscaled/unpadded val
+        # frames (cityscapes 1024×2048, camvid 360×480); VOC val pads to
+        # (505,505) so it keeps the f32 wire.
+        input_mean = None
+        if (getattr(self.cfg, "wire_format", "auto") != "f32"
+                and getattr(self.cfg, "data_set", "") != "voc"):
+            input_mean = np.asarray(
+                getattr(self.cfg, "input_mean_bgr",
+                        (104.00698793, 116.66876762, 122.67891434)),
+                np.float32)
         if whole and self.mesh is not None:
             # shard the val sweep over the data axis: n_data images per
             # dispatch, confusion matrices all-reduced on device
@@ -373,11 +383,13 @@ class KDTrainer:
                     out_size=out_size, batch=n_data,
                     sharding=self.batch_sharding,
                     ignore_label=self.cfg.ignore_label,
+                    input_mean=input_mean,
                 )
         return evaluate_main(
             self.student, variables, val_loader, self.cfg.classes_num,
             out_size=out_size, eval_type="val", whole=whole,
             ignore_label=self.cfg.ignore_label,
+            input_mean=input_mean,
         )
 
     # ------------------------------------------------------------------- ckpt

@@ -476,3 +476,49 @@ def test_u8_wire_roundtrip_exact_for_unpadded_crops():
     # device-side dequant (train_step.py): u8 -> f32 - mean == original
     dequant = img_u8.astype(np.float32) - mean
     np.testing.assert_array_equal(dequant, img)
+
+
+def test_u8_eval_wire_matches_f32():
+    """evaluate_main/evaluate_sharded with input_mean (u8 image wire +
+    device dequant + u8 labels) must reproduce the f32-wire result exactly
+    on integer−mean val frames."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.ops import ABN
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh,
+    )
+    from structure_knowledge_distillation_tpu.training.evaluate import (
+        evaluate_main, evaluate_sharded,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (4, 4), strides=(4, 4))(x)
+            h = ABN(activation="leaky_relu")(h, not train)
+            return (nn.Conv(5, (1, 1))(h), h)
+
+    mean = np.array((104.00698793, 116.66876762, 122.67891434), np.float32)
+    rng = np.random.default_rng(7)
+    items = []
+    for i in range(3):
+        raw = rng.integers(0, 256, (1, 64, 64, 3)).astype(np.float32)
+        lab = rng.integers(0, 5, (1, 64, 64)).astype(np.int32)
+        items.append((raw - mean, lab, np.array([[64, 64, 3]]), [f"v{i}"]))
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(items[0][0]),
+                           train=False)
+
+    ref = evaluate_main(model, variables, items, 5, out_size=(64, 64),
+                        eval_type="val")
+    got = evaluate_main(model, variables, items, 5, out_size=(64, 64),
+                        eval_type="val", input_mean=mean)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+    mesh = make_mesh(num_data=2, num_model=1)
+    got_sh = evaluate_sharded(model, variables, items, 5, out_size=(64, 64),
+                              batch=2, sharding=batch_sharding(mesh),
+                              input_mean=mean)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got_sh[1]))
