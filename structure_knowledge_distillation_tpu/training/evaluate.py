@@ -260,6 +260,65 @@ def evaluate_sharded(
     return iu_from_confusion(conf)
 
 
+def make_msf_val_fn(model, out_size: Tuple[int, int], num_classes: int,
+                    scales: Tuple[float, ...], flip: bool,
+                    ignore_label: int = 255, input_mean=None) -> Callable:
+    """Multiscale + flip whole-image eval fused into ONE device program.
+
+    The reference's predict_multiscale (networks/evaluate.py:115-134) zooms
+    the input on the host (scipy, order=1 == align-corners bilinear — see
+    losses/ohem.py) and pulls the full-resolution logits back per scale: at
+    Cityscapes full res that is 159 MB device→host PER SCALE per image,
+    plus host-side zoom and argmax. Here every scale's forward, the flip
+    average, the cross-scale sum, the argmax, and the confusion matrix run
+    on device — only the uint8 prediction (2 MB) and the (C,C) counts come
+    back. Scale factors are static, so the whole sweep is one jit.
+    """
+    scales = tuple(scales)
+
+    @jax.jit
+    def run(variables, image: jnp.ndarray, label: jnp.ndarray,
+            h: jnp.ndarray, w: jnp.ndarray):
+        x = _dequantize_wire(image, input_mean).astype(jnp.float32)
+        ih, iw = x.shape[1], x.shape[2]
+
+        def fwd(xin):
+            preds = model.apply(variables, xin, train=False)
+            logits = preds[0] if isinstance(preds, (tuple, list)) else preds
+            return resize_bilinear_align_corners(
+                logits.astype(jnp.float32), out_size)
+
+        total = None
+        for s in scales:
+            if s == 1.0:
+                xs = x
+            else:
+                # scipy zoom sizing: round(in·s) (reference evaluate.py:127)
+                xs = resize_bilinear_align_corners(
+                    x, (int(round(ih * s)), int(round(iw * s))))
+            up = fwd(xs)
+            if flip:
+                upf = fwd(xs[:, :, ::-1, :])
+                up = 0.5 * (up + upf[:, :, ::-1, :])
+            total = up if total is None else total + up
+        pred = jnp.argmax(total[0], axis=-1).astype(jnp.uint8)
+        in_bounds = (jnp.arange(out_size[0])[:, None] < h) & (
+            jnp.arange(out_size[1])[None, :] < w)
+        label = jnp.where(in_bounds, label, ignore_label)
+        conf = confusion_matrix(pred, label, num_classes, ignore_label)
+        return pred, conf
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_msf_fn(model, out_size, num_classes, scales, flip, ignore_label,
+                   mean_tuple):
+    mean = np.asarray(mean_tuple, np.float32) if mean_tuple is not None else None
+    return make_msf_val_fn(model, out_size, num_classes, scales, flip,
+                           ignore_label, input_mean=mean)
+
+
 def predict_sliding(
     predict_tile: Callable,
     image: np.ndarray,
@@ -337,10 +396,17 @@ def evaluate_main(
     traffic (see make_fast_val_fn)."""
     scales = tuple(scales)
     fast_path = (whole and scales == (1.0,) and not flip and eval_type == "val")
+    # any other whole-image sweep (multiscale and/or flip, val or test) runs
+    # the device-fused program: no host zoom, no per-scale logits transfer
+    msf_path = whole and not fast_path
     if fast_path:
         fast_fn = _cached_eval_fn(make_fast_val_fn, model, tuple(out_size),
                                   num_classes, ignore_label,
                                   _mean_key(input_mean))
+    elif msf_path:
+        msf_fn = _cached_msf_fn(model, tuple(out_size), num_classes, scales,
+                                bool(flip), ignore_label,
+                                _mean_key(input_mean))
     else:
         predictor = make_predictor(model, out_size)
         predict = lambda img: predictor(variables, jnp.asarray(img))
@@ -385,12 +451,31 @@ def evaluate_main(
                 im.save(os.path.join(output_dir, f"{name[0]}.png"))
             continue
 
-        if whole:
+        if msf_path:
+            if label is not None:
+                h, w = int(size[0][0]), int(size[0][1])
+                lab0 = np.asarray(label[0])
+            else:  # test sweep: no labels; the confusion output is discarded
+                h, w = out_size
+                lab0 = np.zeros(out_size, np.uint8)
+            if input_mean is not None:
+                image = _quantize_wire(image, input_mean)
+            if num_classes <= 254 and ignore_label <= 255:
+                lab0 = lab0.astype(np.uint8)
+            pred_dev, conf_dev = msf_fn(variables, jnp.asarray(image),
+                                        jnp.asarray(lab0),
+                                        jnp.int32(h), jnp.int32(w))
+            if eval_type == "val":
+                conf_dev_acc = (conf_dev if conf_dev_acc is None
+                                else conf_dev_acc + conf_dev)
+            seg_pred = np.asarray(pred_dev)
+        elif whole:
             logits = predict_multiscale(predict, np.asarray(image), scales, flip)
+            seg_pred = np.argmax(logits, axis=2).astype(np.uint8)
         else:
             logits = predict_sliding(predict_tile, np.asarray(image), tile_size,
                                      num_classes)
-        seg_pred = np.argmax(logits, axis=2).astype(np.uint8)
+            seg_pred = np.argmax(logits, axis=2).astype(np.uint8)
 
         if output_dir is not None:
             from PIL import Image as PILImage
@@ -404,7 +489,7 @@ def evaluate_main(
             im.putpalette(get_palette(256))
             im.save(os.path.join(output_dir, f"{name[0]}.png"))
 
-        if eval_type == "val":
+        if eval_type == "val" and not msf_path:  # msf: accumulated on device
             h, w = int(size[0][0]), int(size[0][1])
             gt = np.asarray(label[0])[:h, :w]
             conf += np.asarray(

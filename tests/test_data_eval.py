@@ -522,3 +522,59 @@ def test_u8_eval_wire_matches_f32():
                               batch=2, sharding=batch_sharding(mesh),
                               input_mean=mean)
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got_sh[1]))
+
+
+def test_device_msf_path_matches_host_multiscale():
+    """The fused on-device multiscale+flip program (one jit: per-scale input
+    resize, forwards, flip average, cross-scale sum, argmax, confusion) must
+    reproduce the reference-shaped host path (scipy-zoomed inputs,
+    per-scale logits pulled back, numpy argmax)."""
+    import jax
+    from flax import linen as nn
+    from scipy import ndimage
+
+    from structure_knowledge_distillation_tpu.ops import ABN
+    from structure_knowledge_distillation_tpu.ops.resize import (
+        resize_bilinear_align_corners,
+    )
+    from structure_knowledge_distillation_tpu.training.evaluate import (
+        confusion_matrix, evaluate_main, iu_from_confusion, make_predictor,
+        predict_multiscale,
+    )
+
+    # scipy zoom(order=1, prefilter=False) == align-corners bilinear
+    rng = np.random.default_rng(11)
+    img = rng.normal(0, 50, (1, 64, 64, 3)).astype(np.float32)
+    for s in (0.5, 1.5):
+        ref = ndimage.zoom(img, (1.0, s, s, 1.0), order=1, prefilter=False)
+        got = np.asarray(resize_bilinear_align_corners(
+            jnp.asarray(img), (int(round(64 * s)), int(round(64 * s)))))
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (4, 4), strides=(4, 4))(x)
+            h = ABN(activation="leaky_relu")(h, not train)
+            return (nn.Conv(5, (1, 1))(h), h)
+
+    model = Tiny()
+    lab = rng.integers(0, 5, (1, 64, 64)).astype(np.int32)
+    lab[0, :3] = 255
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img), train=False)
+    items = [(img, lab, np.array([[64, 64, 3]]), ["m0"])]
+
+    scales, flip = (0.5, 1.0, 1.5), True
+    # host path (reference predict_multiscale shape)
+    predictor = make_predictor(model, (64, 64))
+    logits = predict_multiscale(
+        lambda im: predictor(variables, jnp.asarray(im)), img, scales, flip)
+    seg = np.argmax(logits, axis=2).astype(np.uint8)
+    ref_iu, _ = iu_from_confusion(np.asarray(confusion_matrix(
+        jnp.asarray(seg), jnp.asarray(lab[0]), 5)))
+
+    got_iu, _ = evaluate_main(model, variables, items, 5, out_size=(64, 64),
+                              eval_type="val", whole=True, scales=scales,
+                              flip=flip)
+    np.testing.assert_allclose(got_iu, ref_iu, atol=5e-3)
