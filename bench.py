@@ -24,10 +24,10 @@ import time
 BASELINE_IMG_PER_SEC = 22.0
 
 
-def main(batch_size: int = 8, image_size: int = 512, warmup: int = 20,
-         steps: int = 40, compute_dtype: str = "bfloat16",
+def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
+         steps: int = 80, compute_dtype: str = "bfloat16",
          pi: bool = True, pa: bool = True, ho: bool = True,
-         teacher_layers=(3, 4, 23, 3), unroll: int = 20,
+         teacher_layers=(3, 4, 23, 3), unroll: int = 40,
          flat_sgd: bool = False) -> dict:
     import jax
 

@@ -319,6 +319,66 @@ def _cached_msf_fn(model, out_size, num_classes, scales, flip, ignore_label,
                            ignore_label, input_mean=mean)
 
 
+def make_sliding_val_fn(model, out_size: Tuple[int, int],
+                        tile_size: Tuple[int, int], num_classes: int,
+                        ignore_label: int = 255, input_mean=None,
+                        overlap: float = 1.0 / 3.0) -> Callable:
+    """Overlapping-tile inference fused into ONE device program.
+
+    The tile grid for a fixed (out_size, tile_size, overlap) is static, so
+    every tile forward, the upsample-to-tile, the overlap accumulation, the
+    count normalization, the argmax, and the confusion run in one jit —
+    the host path fetches (tile²·C) f32 logits per tile (~300 MB per
+    full-res Cityscapes image). Accumulation is f32 (the host path used
+    float64; ≤4 overlapping tiles of O(10) logits need nowhere near it, and
+    the count division cancels in the argmax anyway).
+    Geometry matches `predict_sliding` / reference networks/evaluate.py:70-104.
+    """
+    th, tw = tile_size
+    H, W = out_size
+    stride = ceil(th * (1.0 - overlap))
+    rows = int(ceil(max(H - th, 0) / stride) + 1)
+    cols = int(ceil(max(W - tw, 0) / stride) + 1)
+
+    @jax.jit
+    def run(variables, image: jnp.ndarray, label: jnp.ndarray,
+            h: jnp.ndarray, w: jnp.ndarray):
+        x = _dequantize_wire(image, input_mean).astype(jnp.float32)
+        full = jnp.zeros((H, W, num_classes), jnp.float32)
+        cnt = jnp.zeros((H, W, 1), jnp.float32)
+        for r in range(rows):
+            for c in range(cols):
+                x1, y1 = int(c * stride), int(r * stride)
+                x2, y2 = min(x1 + tw, W), min(y1 + th, H)
+                x1, y1 = max(x2 - tw, 0), max(y2 - th, 0)
+                tile = x[:, y1:y2, x1:x2, :]
+                pad_h, pad_w = th - (y2 - y1), tw - (x2 - x1)
+                if pad_h or pad_w:
+                    tile = jnp.pad(tile,
+                                   ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+                preds = model.apply(variables, tile, train=False)
+                logits = preds[0] if isinstance(preds, (tuple, list)) else preds
+                up = resize_bilinear_align_corners(
+                    logits.astype(jnp.float32), (th, tw))[0]
+                full = full.at[y1:y2, x1:x2].add(up[: y2 - y1, : x2 - x1])
+                cnt = cnt.at[y1:y2, x1:x2].add(1.0)
+        pred = jnp.argmax(full / cnt, axis=-1).astype(jnp.uint8)
+        in_bounds = (jnp.arange(H)[:, None] < h) & (jnp.arange(W)[None, :] < w)
+        label = jnp.where(in_bounds, label, ignore_label)
+        conf = confusion_matrix(pred, label, num_classes, ignore_label)
+        return pred, conf
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_sliding_fn(model, out_size, tile_size, num_classes, ignore_label,
+                       mean_tuple):
+    mean = np.asarray(mean_tuple, np.float32) if mean_tuple is not None else None
+    return make_sliding_val_fn(model, out_size, tile_size, num_classes,
+                               ignore_label, input_mean=mean)
+
+
 def predict_sliding(
     predict_tile: Callable,
     image: np.ndarray,
@@ -408,13 +468,12 @@ def evaluate_main(
                                 bool(flip), ignore_label,
                                 _mean_key(input_mean))
     else:
-        predictor = make_predictor(model, out_size)
-        predict = lambda img: predictor(variables, jnp.asarray(img))
-        # sliding tiles are upsampled to TILE size before accumulation
-        # (reference evaluate.py:71 interp = Upsample(size=tile_size)), NOT
-        # to the full output size
-        tile_predictor = make_predictor(model, tile_size)
-        predict_tile = lambda img: tile_predictor(variables, jnp.asarray(img))
+        # sliding tiles upsample to TILE size before accumulation (reference
+        # evaluate.py:71 interp = Upsample(size=tile_size)), NOT to the full
+        # output size; the whole tile sweep is one fused device program
+        sliding_fn = _cached_sliding_fn(model, tuple(out_size),
+                                        tuple(tile_size), num_classes,
+                                        ignore_label, _mean_key(input_mean))
 
     conf = np.zeros((num_classes, num_classes), np.float64)
     # fast path: accumulate confusion ON DEVICE and fetch once at the end —
@@ -451,33 +510,28 @@ def evaluate_main(
                 im.save(os.path.join(output_dir, f"{name[0]}.png"))
             continue
 
-        if msf_path:
-            if label is not None:
-                h, w = int(size[0][0]), int(size[0][1])
-                lab0 = np.asarray(label[0])
-            else:  # test sweep: no labels; the confusion output is discarded
-                h, w = out_size
-                lab0 = np.zeros(out_size, np.uint8)
-            if input_mean is not None:
-                image = _quantize_wire(image, input_mean)
-            if num_classes <= 254 and ignore_label <= 255:
-                lab0 = lab0.astype(np.uint8)
-            pred_dev, conf_dev = msf_fn(variables, jnp.asarray(image),
-                                        jnp.asarray(lab0),
-                                        jnp.int32(h), jnp.int32(w))
-            if eval_type == "val":
-                conf_dev_acc = (conf_dev if conf_dev_acc is None
-                                else conf_dev_acc + conf_dev)
-            seg_pred = np.asarray(pred_dev)
-        elif whole:
-            logits = predict_multiscale(predict, np.asarray(image), scales, flip)
-            seg_pred = np.argmax(logits, axis=2).astype(np.uint8)
-        else:
-            logits = predict_sliding(predict_tile, np.asarray(image), tile_size,
-                                     num_classes)
-            seg_pred = np.argmax(logits, axis=2).astype(np.uint8)
+        # both remaining paths (msf whole-image, sliding tiles) are fused
+        # device programs with the same (pred, conf) interface
+        if label is not None:
+            h, w = int(size[0][0]), int(size[0][1])
+            lab0 = np.asarray(label[0])
+        else:  # test sweep: no labels; the confusion output is discarded
+            h, w = out_size
+            lab0 = np.zeros(out_size, np.uint8)
+        if input_mean is not None:
+            image = _quantize_wire(image, input_mean)
+        if num_classes <= 254 and ignore_label <= 255:
+            lab0 = lab0.astype(np.uint8)
+        run_fn = msf_fn if msf_path else sliding_fn
+        pred_dev, conf_dev = run_fn(variables, jnp.asarray(image),
+                                    jnp.asarray(lab0),
+                                    jnp.int32(h), jnp.int32(w))
+        if eval_type == "val":
+            conf_dev_acc = (conf_dev if conf_dev_acc is None
+                            else conf_dev_acc + conf_dev)
 
         if output_dir is not None:
+            seg_pred = np.asarray(pred_dev)  # only fence when writing PNGs
             from PIL import Image as PILImage
 
             from structure_knowledge_distillation_tpu.data.cityscapes import trainid2id
@@ -488,14 +542,6 @@ def evaluate_main(
             im = PILImage.fromarray(out)
             im.putpalette(get_palette(256))
             im.save(os.path.join(output_dir, f"{name[0]}.png"))
-
-        if eval_type == "val" and not msf_path:  # msf: accumulated on device
-            h, w = int(size[0][0]), int(size[0][1])
-            gt = np.asarray(label[0])[:h, :w]
-            conf += np.asarray(
-                confusion_matrix(jnp.asarray(seg_pred[:h, :w]), jnp.asarray(gt),
-                                 num_classes, ignore_label)
-            )
 
     if conf_dev_acc is not None:
         conf += np.asarray(conf_dev_acc, np.float64)

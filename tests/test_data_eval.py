@@ -578,3 +578,50 @@ def test_device_msf_path_matches_host_multiscale():
                               eval_type="val", whole=True, scales=scales,
                               flip=flip)
     np.testing.assert_allclose(got_iu, ref_iu, atol=5e-3)
+
+
+def test_device_sliding_matches_host_sliding():
+    """The fused on-device sliding program (static tile grid, overlap
+    accumulation, argmax, confusion in one jit) must reproduce the host
+    predict_sliding path tile-for-tile — including the edge-shifted
+    overlapping tiles and the pad branch when the image is smaller than a
+    tile."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.ops import ABN
+    from structure_knowledge_distillation_tpu.training.evaluate import (
+        confusion_matrix, evaluate_main, iu_from_confusion, make_predictor,
+        predict_sliding,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (4, 4), strides=(4, 4))(x)
+            h = ABN(activation="leaky_relu")(h, not train)
+            return (nn.Conv(5, (1, 1))(h), h)
+
+    model = Tiny()
+    rng = np.random.default_rng(13)
+    for out_size, tile in (((64, 96), (48, 48)),   # 2x3 overlapping grid
+                           ((40, 40), (48, 48))):  # image < tile: pad branch
+        img = rng.normal(0, 50, (1, *out_size, 3)).astype(np.float32)
+        lab = rng.integers(0, 5, (1, *out_size)).astype(np.int32)
+        lab[0, :3] = 255
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                               train=False)
+        items = [(img, lab, np.array([[*out_size, 3]]), ["s0"])]
+
+        tile_predictor = make_predictor(model, tile)
+        logits = predict_sliding(
+            lambda im: tile_predictor(variables, jnp.asarray(im)),
+            img, tile, 5)
+        seg = np.argmax(logits, axis=2).astype(np.uint8)
+        ref_iu, _ = iu_from_confusion(np.asarray(confusion_matrix(
+            jnp.asarray(seg), jnp.asarray(lab[0]), 5)))
+
+        got_iu, _ = evaluate_main(model, variables, items, 5,
+                                  out_size=out_size, eval_type="val",
+                                  whole=False, tile_size=tile)
+        np.testing.assert_allclose(got_iu, ref_iu, atol=1e-6)
