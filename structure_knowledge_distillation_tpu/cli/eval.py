@@ -75,6 +75,11 @@ def main(argv=None):
     p.add_argument("--tile-size", default="512,512", type=str,
                    help="H,W sliding tile for --whole false (reference "
                         "input_size, networks/evaluate.py:163)")
+    p.add_argument("--num-data-shards", default=1, type=int,
+                   help=">1: shard the val sweep over a data mesh "
+                        "(one image per device per dispatch, confusion "
+                        "all-reduced on device; whole-image single-scale "
+                        "path only)")
     args = p.parse_args(argv)
     default_size, default_classes = _DATASET_DEFAULTS[args.data_set]
     out_h, out_w = (map(int, args.eval_size.split(","))
@@ -96,12 +101,30 @@ def main(argv=None):
     ds = _build_val_dataset(args.data_set, args.data_dir, data_list,
                             (out_h, out_w))
     loader = batch_iterator(ds, 1, shuffle=False, drop_last=False)
-    mean_iu, iu_array = evaluate_main(
-        model, variables, loader, num_classes, out_size=(out_h, out_w),
-        eval_type="val", output_dir=args.output_dir or None, whole=args.whole,
-        tile_size=tuple(map(int, args.tile_size.split(","))),
-        scales=tuple(float(s) for s in args.scales.split(",")), flip=args.flip,
-    )
+    scales = tuple(float(s) for s in args.scales.split(","))
+    if (args.num_data_shards > 1 and args.whole and scales == (1.0,)
+            and not args.flip and not args.output_dir):
+        from structure_knowledge_distillation_tpu.parallel import (
+            batch_sharding,
+            make_mesh,
+        )
+        from structure_knowledge_distillation_tpu.training.evaluate import (
+            evaluate_sharded,
+        )
+
+        mesh = make_mesh(num_data=args.num_data_shards, num_model=1)
+        mean_iu, iu_array = evaluate_sharded(
+            model, variables, loader, num_classes, out_size=(out_h, out_w),
+            batch=args.num_data_shards, sharding=batch_sharding(mesh),
+        )
+    else:
+        mean_iu, iu_array = evaluate_main(
+            model, variables, loader, num_classes, out_size=(out_h, out_w),
+            eval_type="val", output_dir=args.output_dir or None,
+            whole=args.whole,
+            tile_size=tuple(map(int, args.tile_size.split(","))),
+            scales=scales, flip=args.flip,
+        )
     print(f"meanIU: {mean_iu:.6f}")
     print("IU_array:", np.array2string(iu_array, precision=4))
     return mean_iu

@@ -206,7 +206,8 @@ def main(argv=None):
     from structure_knowledge_distillation_tpu.data import cast_batches
 
     image_dtype, image_mean = None, None
-    if cfg.wire_format == "u8":
+    if cfg.wire_format == "u8" and cfg.data_set != "synthetic":
+        # synthetic images are not integer−mean; u8 would quantize them
         image_dtype = "uint8"
         image_mean = np.asarray(cfg.input_mean_bgr, np.float32)
     elif cfg.wire_format != "f32" and cfg.compute_dtype == "bfloat16":

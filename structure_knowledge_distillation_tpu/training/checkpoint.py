@@ -94,6 +94,28 @@ def save_state(path: str, state, **meta) -> str:
     return path + ".msgpack"
 
 
+def save_student_state(path: str, state, **meta) -> str:
+    """Reference-style cadence snapshot: bare student variables + JSON meta.
+
+    The reference's per-eval `CS_scenes_{step}_{mIoU}.pth` is the student's
+    state_dict alone (kd_model.py:192-193) — no teacher, no optimizer.
+    Saving the full KDTrainState there ships/stores the frozen R101 teacher
+    (~5× the bytes) for nothing; full-state saves remain for `model_best`
+    (exact resume) and the async Orbax stream (crash recovery).
+    `load_student_variables` and weights-only `resume_from_snapshot` read
+    this format."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tree = {"params": jax.device_get(state.student_params),
+            "batch_stats": jax.device_get(state.student_stats)}
+    with open(path + ".msgpack", "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            serialization.to_state_dict(tree)))
+    with open(path + ".json", "w") as f:
+        json.dump({k: float(v) if isinstance(v, (int, float, np.floating)) else v
+                   for k, v in meta.items()}, f)
+    return path + ".msgpack"
+
+
 def restore_state(path: str, state_template):
     if not path.endswith(".msgpack"):
         path = path + ".msgpack"

@@ -181,16 +181,37 @@ class KDTrainer:
                 d_opt=_set_schedule_count(self.state.d_opt, step),
             )
         else:
-            self.state = ckpt.restore_state(path, self.state)
-            meta_path = (path if path.endswith(".msgpack") else path + ".msgpack")
-            meta_path = meta_path[: -len(".msgpack")] + ".json"
+            from flax import serialization
+
+            msgpack_path = (path if path.endswith(".msgpack")
+                            else path + ".msgpack")
+            with open(msgpack_path, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+            meta_path = msgpack_path[: -len(".msgpack")] + ".json"
             meta = {}
             if os.path.exists(meta_path):
                 meta = ckpt.load_meta(path)
-            # prefer state_step (the actual state.step under the device
-            # loop) over the cadence step used in the filename/metadata
-            step = int(meta.get("state_step",
-                                meta.get("step", int(self.state.step))))
+            if "student_params" in raw:  # full KDTrainState snapshot:
+                # everything (step, opt counts, spectral) restores verbatim
+                self.state = serialization.from_state_dict(self.state, raw)
+                step = int(meta.get("state_step",
+                                    meta.get("step", int(self.state.step))))
+            else:
+                # bare-student cadence snapshot (save_student_state):
+                # weights-only resume — momentum buffers restart and the
+                # step/schedule offset comes from the metadata, exactly
+                # like resuming the reference's CS_scenes_*.pth state_dict
+                variables = {"params": self.state.student_params,
+                             "batch_stats": self.state.student_stats}
+                merged = serialization.from_state_dict(variables, raw)
+                step = int(meta.get("state_step", meta.get("step", 0)))
+                self.state = self.state.replace(
+                    step=jnp.asarray(step, jnp.int32),
+                    student_params=merged["params"],
+                    student_stats=merged["batch_stats"],
+                    g_opt=_set_schedule_count(self.state.g_opt, step),
+                    d_opt=_set_schedule_count(self.state.d_opt, step),
+                )
             best = float(meta.get("mean_iu", 0.0))
         if self.mesh is not None:
             self.state = shard_state(self.state, self.mesh)
@@ -357,12 +378,14 @@ class KDTrainer:
             "params": self.state.student_params,
             "batch_stats": self.state.student_stats,
         }
-        # u8 image wire for the val sweep: exact for unscaled/unpadded val
-        # frames (cityscapes 1024×2048, camvid 360×480); VOC val pads to
-        # (505,505) so it keeps the f32 wire.
+        # u8 image wire for the val sweep: exact for unscaled/unpadded
+        # integer−mean val frames (cityscapes 1024×2048, camvid 360×480).
+        # VOC pads to (505,505) and synthetic images are not integer-valued,
+        # so both keep the f32 wire.
         input_mean = None
         if (getattr(self.cfg, "wire_format", "auto") != "f32"
-                and getattr(self.cfg, "data_set", "") != "voc"):
+                and getattr(self.cfg, "data_set", "")
+                in ("cityscapes", "cityscape", "camvid")):
             input_mean = np.asarray(
                 getattr(self.cfg, "input_mean_bgr",
                         (104.00698793, 116.66876762, 122.67891434)),
@@ -404,8 +427,10 @@ class KDTrainer:
         os.makedirs(self.cfg.snapshot_dir, exist_ok=True)
         state_step = int(state_step if state_step is not None else step)
         path = os.path.join(self.cfg.snapshot_dir, f"CS_scenes_{step}_{mean_iu}")
-        ckpt.save_state(path, self.state, step=step, mean_iu=mean_iu,
-                        state_step=state_step)
+        # cadence snapshot = bare student variables (reference semantics,
+        # kd_model.py:192); model_best below keeps the FULL state for resume
+        ckpt.save_student_state(path, self.state, step=step, mean_iu=mean_iu,
+                                state_step=state_step)
         if is_best:
             # model_best copy in S_ckpt_path, the path load_S_model-style
             # resume reads (reference utils/utils.py:153-157, :108-110)

@@ -320,3 +320,50 @@ def test_trainer_resume_from_named_snapshot(tmp_path):
     got2 = trainer2.resume_from_snapshot(p2)
     assert got2 == 9 and trainer2.start_step == 9
     assert _schedule_counts(trainer2.state.g_opt) == [5]  # restored verbatim
+
+
+def test_slim_cadence_snapshot_and_weights_only_resume(tmp_path):
+    """save_checkpoint's CS_scenes_* snapshot is a bare student-variables
+    msgpack (reference kd_model.py:192 saves the student state_dict only —
+    no teacher/optimizer, ~5x fewer bytes); load_student_variables reads it
+    and resume_from_snapshot does a weights-only resume with the schedule
+    offset."""
+    import jax
+    import jax.numpy as jnp
+
+    from structure_knowledge_distillation_tpu.config import TrainConfig
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(128, 128), num_steps=10,
+        teacher_layers=(1, 1, 1, 1), ho=False, compute_dtype="float32",
+        snapshot_dir=str(tmp_path / "snap"),
+        S_ckpt_path=str(tmp_path / "snap"), log_path="",
+    )
+    trainer = KDTrainer(cfg)
+    trainer.state = trainer.state.replace(step=jnp.asarray(3, jnp.int32))
+    path = trainer.save_checkpoint(3, 0.5, is_best=True, state_step=4)
+
+    # slim: much smaller than the full model_best file
+    import os
+
+    slim = os.path.getsize(path + ".msgpack")
+    full = os.path.getsize(os.path.join(cfg.snapshot_dir, "model_best.msgpack"))
+    assert slim < full / 2, (slim, full)
+
+    # loadable as plain student variables
+    variables = {"params": trainer.state.student_params,
+                 "batch_stats": trainer.state.student_stats}
+    loaded = ckpt.load_student_variables(path, variables)
+    for a, b in zip(jax.tree.leaves(loaded["params"]),
+                    jax.tree.leaves(trainer.state.student_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # weights-only resume restores weights + step/schedule from metadata
+    trainer2 = KDTrainer(cfg)
+    step = trainer2.resume_from_snapshot(path)
+    assert step == 4  # state_step (device-loop actual), not the cadence 3
+    for a, b in zip(jax.tree.leaves(trainer2.state.student_params),
+                    jax.tree.leaves(trainer.state.student_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(trainer2.state.step) == 4
