@@ -261,35 +261,47 @@ def torch_optimize_parameters(st_t, st_s, st_d, images, labels, cfg, alpha):
         st_s, images, "basic", (1, 1, 1, 1), train=True)
 
     mc = criterion_dsn_t(s_logits, s_dsn, labels)
-    pi = pixel_wise_t(s_logits, t_logits)
-    pa = pairwise_t(s_feat, t_feat, cfg.pool_scale)
+    g_loss = mc
+    losses = {"mc_loss": mc.item()}
+    if cfg.pi:
+        pi = pixel_wise_t(s_logits, t_logits)
+        g_loss = g_loss + cfg.lambda_pi * pi
+        losses["pi_loss"] = pi.item()
+    if cfg.pa:
+        pa = pairwise_t(s_feat, t_feat, cfg.pool_scale)
+        g_loss = g_loss + cfg.lambda_pa * pa
+        losses["pa_loss"] = pa.item()
     d_out_s_for_g = d_forward_t(st_d, s_logits, imsize)
     adv_g = -d_out_s_for_g.mean()
-    g_loss = (mc + cfg.lambda_pi * pi + cfg.lambda_pa * pa
-              + cfg.lambda_d * adv_g)
+    g_loss = g_loss + cfg.lambda_d * adv_g
+    losses["adv_g_loss"] = adv_g.item()
     g_opt.zero_grad()
     d_opt.zero_grad()
     g_loss.backward()
     g_opt.step()
 
-    # discriminator_backward: D(T), D(S), then GP on the α-interpolation
+    # discriminator_backward: D(T), D(S), then (wgan-gp only) GP on the
+    # α-interpolation (criterion.py:139-166 both adv types, :92-120 GP)
     d_opt.zero_grad()
     out_t = d_forward_t(st_d, t_logits.detach(), imsize)
     out_s = d_forward_t(st_d, s_logits.detach(), imsize)
-    d_loss = cfg.lambda_d * (out_s.mean() - out_t.mean())
-    interp = (alpha * t_logits.detach()
-              + (1.0 - alpha) * s_logits.detach()).requires_grad_(True)
-    gp_out = d_forward_t(st_d, interp, imsize)
-    grad = torch.autograd.grad(gp_out.sum(), interp, create_graph=True)[0]
-    gn = grad.reshape(grad.shape[0], -1).norm(dim=1)
-    gp = cfg.lambda_gp * ((gn - 1.0) ** 2).mean()
-    d_loss = d_loss + cfg.lambda_d * gp
+    if cfg.adv_loss_type == "hinge":
+        d_loss = cfg.lambda_d * (F.relu(1.0 - out_t).mean()
+                                 + F.relu(1.0 + out_s).mean())
+    else:
+        d_loss = cfg.lambda_d * (out_s.mean() - out_t.mean())
+        interp = (alpha * t_logits.detach()
+                  + (1.0 - alpha) * s_logits.detach()).requires_grad_(True)
+        gp_out = d_forward_t(st_d, interp, imsize)
+        grad = torch.autograd.grad(gp_out.sum(), interp, create_graph=True)[0]
+        gn = grad.reshape(grad.shape[0], -1).norm(dim=1)
+        gp = cfg.lambda_gp * ((gn - 1.0) ** 2).mean()
+        d_loss = d_loss + cfg.lambda_d * gp
     d_loss.backward()
     d_opt.step()
 
-    return {"mc_loss": mc.item(), "pi_loss": pi.item(), "pa_loss": pa.item(),
-            "adv_g_loss": adv_g.item(), "g_loss": g_loss.item(),
-            "d_loss": d_loss.item()}
+    losses.update({"g_loss": g_loss.item(), "d_loss": d_loss.item()})
+    return losses
 
 
 # ------------------------------------------------------------------ the test
@@ -323,11 +335,11 @@ def _randomized_vars(rng_np, template):
     return out
 
 
-def test_composite_one_step_matches_torch():
+def _run_composite(adv_loss_type: str, pi: bool, pa: bool):
     cfg = TrainConfig(
         classes_num=CLASSES, batch_size=2, input_size=(256, 256),
         imsize_for_adv=33, adv_conv_dim=16, num_steps=100,
-        pi=True, pa=True, ho=True, adv_loss_type="wgan-gp",
+        pi=pi, pa=pa, ho=True, adv_loss_type=adv_loss_type,
         lambda_pi=10.0, lambda_pa=0.7, lambda_d=0.13, lambda_gp=10.0,
         pool_scale=0.5, compute_dtype="float32",
     )
@@ -384,8 +396,8 @@ def test_composite_one_step_matches_torch():
         torch.tensor(images.transpose(0, 3, 1, 2)),
         torch.tensor(labels.astype(np.int64)), cfg, alpha)
 
-    # --- losses agree
-    for k in ("mc_loss", "pi_loss", "pa_loss", "adv_g_loss", "g_loss", "d_loss"):
+    # --- losses agree (all terms the recipe enables)
+    for k in t_losses:
         np.testing.assert_allclose(metrics[k], t_losses[k], rtol=2e-3,
                                    atol=2e-4, err_msg=k)
 
@@ -421,3 +433,14 @@ def test_composite_one_step_matches_torch():
 
     compare(after_s, before_s, torch_after_s, "student")
     compare(after_d, before_d, torch_after_d, "discriminator")
+
+
+def test_composite_one_step_matches_torch():
+    """Flagship recipe: wgan-gp with all three distillation terms."""
+    _run_composite("wgan-gp", pi=True, pa=True)
+
+
+def test_composite_one_step_matches_torch_hinge():
+    """Hinge variant (no GP, 3 spectral updates/step) with pi/pa toggled
+    off — also verifies the loss-toggle composition."""
+    _run_composite("hinge", pi=False, pa=False)
