@@ -57,15 +57,18 @@ def make_flat_sgd(base_lr: float, num_steps: int, power: float,
                   momentum: float, weight_decay: float) -> optax.GradientTransformation:
     """torch-SGD semantics with ONE momentum vector for the whole tree.
 
-    The per-leaf optax chain lowers to ~5 tiny XLA ops per parameter leaf
-    (~900 sub-5µs dispatches per train step across both optimizers —
-    profiled as ~1 ms of launch overhead on v5e). Concatenating the raveled
-    gradients once and doing the decay+momentum+lr math as three fused
-    full-vector ops trades ~0.1 ms of extra HBM traffic for that overhead.
-    Numerically identical to `optax.chain(add_decayed_weights, sgd)` (decay
-    added to the gradient BEFORE the momentum buffer, update = −lr·buf,
-    reference kd_model.py:59-66) — regression-tested against the per-leaf
-    chain leaf-for-leaf."""
+    Motivation: the per-leaf optax chain lowers to ~5 tiny XLA ops per
+    parameter leaf (~900 sub-5µs device ops per train step across both
+    optimizers). MEASURED NEGATIVE on v5e (full-recipe bench 147.96 vs
+    150.68 img/s): inside the scanned program those tiny ops are
+    device-scheduled, not host launches, and the flat form's extra
+    concat/slice HBM traffic (~100 MB/step) outweighs the op-count saving.
+    Ships flag-off (`--flat-sgd`) as a recorded negative, like
+    `stem_patches_conv1`. Numerically identical to
+    `optax.chain(add_decayed_weights, sgd)` (decay added to the gradient
+    BEFORE the momentum buffer, update = −lr·buf, reference
+    kd_model.py:59-66) — regression-tested against the per-leaf chain
+    leaf-for-leaf."""
     sched = poly_schedule(base_lr, num_steps, power)
 
     def init(params):
