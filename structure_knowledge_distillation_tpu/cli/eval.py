@@ -80,6 +80,11 @@ def main(argv=None):
                         "(one image per device per dispatch, confusion "
                         "all-reduced on device; whole-image single-scale "
                         "path only)")
+    p.add_argument("--num-spatial-shards", default=1, type=int,
+                   help=">1: shard each image's HEIGHT across devices (XLA "
+                        "halo exchange) — exact whole-image inference whose "
+                        "memory divides by the device count; the TPU-native "
+                        "replacement for --whole false tiling")
     args = p.parse_args(argv)
     default_size, default_classes = _DATASET_DEFAULTS[args.data_set]
     out_h, out_w = (map(int, args.eval_size.split(","))
@@ -102,7 +107,19 @@ def main(argv=None):
                             (out_h, out_w))
     loader = batch_iterator(ds, 1, shuffle=False, drop_last=False)
     scales = tuple(float(s) for s in args.scales.split(","))
-    if (args.num_data_shards > 1 and args.whole and scales == (1.0,)
+    if (args.num_spatial_shards > 1 and args.whole and scales == (1.0,)
+            and not args.flip and not args.output_dir):
+        from structure_knowledge_distillation_tpu.parallel import make_mesh
+        from structure_knowledge_distillation_tpu.training.evaluate import (
+            evaluate_spatial,
+        )
+
+        mesh = make_mesh(num_data=args.num_spatial_shards, num_model=1)
+        mean_iu, iu_array = evaluate_spatial(
+            model, variables, loader, num_classes, out_size=(out_h, out_w),
+            mesh=mesh,
+        )
+    elif (args.num_data_shards > 1 and args.whole and scales == (1.0,)
             and not args.flip and not args.output_dir):
         from structure_knowledge_distillation_tpu.parallel import (
             batch_sharding,

@@ -1,6 +1,7 @@
 from structure_knowledge_distillation_tpu.parallel.mesh import (
     batch_sharding,
     stacked_batch_sharding,
+    spatial_sharding,
     make_mesh,
     param_shardings,
     replicated,
@@ -10,6 +11,7 @@ from structure_knowledge_distillation_tpu.parallel.mesh import (
 __all__ = [
     "batch_sharding",
     "stacked_batch_sharding",
+    "spatial_sharding",
     "make_mesh",
     "param_shardings",
     "replicated",

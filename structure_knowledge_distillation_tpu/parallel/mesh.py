@@ -80,6 +80,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the HEIGHT axis of an (N,H,W,C) image over the data axis.
+
+    Jitting an eval forward with its input placed this way makes XLA
+    partition every conv spatially (halo exchanges for the 3×3 kernels are
+    inserted automatically) — the TPU-native counterpart of the reference's
+    memory-bounded `predict_sliding` (networks/evaluate.py:70-104): one
+    whole-image pass whose activation footprint divides by the number of
+    devices, with exact (non-tiled) numerics."""
+    return NamedSharding(mesh, P(None, _data_axes(mesh)))
+
+
 def _param_spec(path: tuple, leaf, num_model: int, min_channels: int) -> P:
     """Tensor-parallel rule: shard wide conv kernels (HWIO) on O over `model`."""
     if num_model <= 1:

@@ -35,6 +35,7 @@ __all__ = [
     "predict_multiscale",
     "evaluate_main",
     "evaluate_sharded",
+    "evaluate_spatial",
 ]
 
 
@@ -104,6 +105,11 @@ def _mean_key(input_mean):
     return tuple(float(m) for m in input_mean) if input_mean is not None else None
 
 
+def _fast_val_fn_xla(model, out_size, num_classes, ignore_label, input_mean=None):
+    return make_fast_val_fn(model, out_size, num_classes, ignore_label,
+                            input_mean=input_mean, use_pallas=False)
+
+
 def _quantize_wire(image: np.ndarray, mean) -> np.ndarray:
     """Host side of the u8 eval wire: integer−mean pixels (every unscaled,
     unpadded val frame) round-trip exactly through (x + mean) → uint8.
@@ -122,7 +128,8 @@ def _dequantize_wire(image: jnp.ndarray, mean) -> jnp.ndarray:
 
 
 def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
-                     ignore_label: int = 255, input_mean=None) -> Callable:
+                     ignore_label: int = 255, input_mean=None,
+                     use_pallas: bool = True) -> Callable:
     """Jitted forward + upsample + argmax + confusion, all on device.
 
     The default val path (one scale, no flip) never moves the upsampled
@@ -146,7 +153,7 @@ def make_fast_val_fn(model, out_size: Tuple[int, int], num_classes: int,
             upsampled_argmax,
         )
 
-        if (jax.default_backend() == "tpu"
+        if (use_pallas and jax.default_backend() == "tpu"
                 and argmax_kernel_fits(logits.shape, out_size)):
             # fused upsample+argmax: never materializes the (H,W,C) f32
             # upsampled logits (159 MB at Cityscapes full res)
@@ -257,6 +264,53 @@ def evaluate_sharded(
     flush()
     if conf_dev_acc is not None:
         conf += np.asarray(conf_dev_acc, np.float64)
+    return iu_from_confusion(conf)
+
+
+def evaluate_spatial(
+    model,
+    variables,
+    loader: Iterable,
+    num_classes: int,
+    out_size: Tuple[int, int] = (1024, 2048),
+    mesh=None,
+    ignore_label: int = 255,
+    input_mean=None,
+):
+    """Whole-image val sweep with the image HEIGHT sharded across the mesh's
+    data axis — the TPU-native replacement for memory-bounded tiled
+    inference (reference predict_sliding, networks/evaluate.py:70-104).
+
+    One jitted pass per image: XLA partitions every conv spatially and
+    inserts the 3×3-halo exchanges itself, so the activation footprint
+    divides by the device count while the numerics stay EXACTLY the
+    whole-image ones (no tile overlap averaging). Confusion accumulates on
+    device like the other sweeps."""
+    from structure_knowledge_distillation_tpu.parallel import spatial_sharding
+
+    sh = spatial_sharding(mesh)
+    # XLA argmax path: a Pallas custom call cannot be SPMD-partitioned over
+    # the spatially sharded inputs
+    fn = _cached_eval_fn(_fast_val_fn_xla, model, tuple(out_size),
+                         num_classes, ignore_label, _mean_key(input_mean))
+    conf_dev_acc = None
+    for image, label, size, _ in loader:
+        h, w = int(size[0][0]), int(size[0][1])
+        if input_mean is not None:
+            image = _quantize_wire(image, input_mean)
+        lab0 = np.asarray(label[0])
+        if num_classes <= 254 and ignore_label <= 255:
+            lab0 = lab0.astype(np.uint8)
+        image = jax.device_put(np.asarray(image), sh)
+        # label (H, W): H sharded over the same axes as the image height
+        lab_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(sh.spec[1]))
+        lab0 = jax.device_put(lab0, lab_sh)
+        _, conf_dev = fn(variables, image, lab0, jnp.int32(h), jnp.int32(w))
+        conf_dev_acc = (conf_dev if conf_dev_acc is None
+                        else conf_dev_acc + conf_dev)
+    conf = np.asarray(conf_dev_acc, np.float64) if conf_dev_acc is not None \
+        else np.zeros((num_classes, num_classes))
     return iu_from_confusion(conf)
 
 

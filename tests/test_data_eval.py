@@ -625,3 +625,44 @@ def test_device_sliding_matches_host_sliding():
                                   out_size=out_size, eval_type="val",
                                   whole=False, tile_size=tile)
         np.testing.assert_allclose(got_iu, ref_iu, atol=1e-6)
+
+
+def test_evaluate_spatial_matches_unsharded():
+    """Height-sharded whole-image eval (XLA partitions the convs and inserts
+    the 3x3 halo exchanges) must reproduce the unsharded fast path exactly —
+    the TPU-native replacement for memory-bounded tiled inference."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.ops import ABN
+    from structure_knowledge_distillation_tpu.parallel import make_mesh
+    from structure_knowledge_distillation_tpu.training.evaluate import (
+        evaluate_main, evaluate_spatial,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (3, 3))(x)  # 3x3: exercises the halo exchange
+            h = ABN(activation="leaky_relu")(h, not train)
+            h = nn.Conv(8, (4, 4), strides=(4, 4))(h)
+            return (nn.Conv(5, (1, 1))(h), h)
+
+    model = Tiny()
+    rng = np.random.default_rng(17)
+    items = []
+    for i in range(2):
+        img = rng.normal(0, 50, (1, 64, 64, 3)).astype(np.float32)
+        lab = rng.integers(0, 5, (1, 64, 64)).astype(np.int32)
+        lab[0, :3] = 255
+        items.append((img, lab, np.array([[60, 64, 3]]), [f"p{i}"]))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(items[0][0]),
+                           train=False)
+
+    ref_iu, ref_arr = evaluate_main(model, variables, items, 5,
+                                    out_size=(64, 64), eval_type="val")
+    mesh = make_mesh(num_data=4, num_model=1)
+    iu, arr = evaluate_spatial(model, variables, items, 5, out_size=(64, 64),
+                               mesh=mesh)
+    np.testing.assert_allclose(iu, ref_iu, rtol=1e-6)
+    np.testing.assert_allclose(arr, ref_arr, rtol=1e-6)
