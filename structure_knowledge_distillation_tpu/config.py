@@ -108,6 +108,7 @@ class TrainConfig:
     num_data_shards: int = 1  # data-parallel mesh size (per slice)
     num_model_shards: int = 1  # tensor-parallel mesh size (teacher/student channels)
     num_slices: int = 1  # TPU slices (dcn mesh axis; cross-slice data parallel)
+    num_spatial_shards: int = 1  # image-height sharding (sp mesh axis)
     unroll_steps: int = 1  # device-loop: optimizer steps per dispatch (lax.scan)
     decode_cache_dir: str = ""  # one-time PNG decode to raw .npy + mmap reads
     num_workers: int = 0  # decode/augment worker processes (0 = in-process)
@@ -199,6 +200,7 @@ class TrainConfig:
         p.add_argument("--num-data-shards", default=1, type=int)
         p.add_argument("--num-model-shards", default=1, type=int)
         p.add_argument("--num-slices", default=1, type=int)
+        p.add_argument("--num-spatial-shards", default=1, type=int)
         p.add_argument("--unroll-steps", default=1, type=int)
         p.add_argument("--decode-cache-dir", default="", type=str)
         p.add_argument("--num-workers", default=0, type=int)

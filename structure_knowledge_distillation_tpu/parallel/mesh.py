@@ -35,31 +35,38 @@ def make_mesh(
     num_model: int = 1,
     devices: Optional[list] = None,
     num_slices: int = 1,
+    num_spatial: int = 1,
 ) -> Mesh:
-    """('data', 'model') mesh, or ('dcn', 'data', 'model') when num_slices > 1
-    (num_data is then the PER-SLICE data-parallel degree)."""
+    """('data', 'model') mesh, extended with a leading 'dcn' axis when
+    num_slices > 1 (num_data is then the PER-SLICE data-parallel degree) and
+    a trailing 'spatial' axis when num_spatial > 1 (image height sharding —
+    XLA partitions the convs with automatic halo exchange; BN statistics
+    stay exact because the batch AND spatial reductions are global under
+    jit sharding)."""
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
-        num_data = max(len(devices) // (num_model * num_slices), 1)
-    need = num_data * num_model * num_slices
+        num_data = max(len(devices) // (num_model * num_slices * num_spatial), 1)
+    need = num_data * num_model * num_slices * num_spatial
     if need > len(devices):
         raise ValueError(f"need {need} devices, have {len(devices)}")
+    shape = (num_data, num_model) + ((num_spatial,) if num_spatial > 1 else ())
+    names = ("data", "model") + (("spatial",) if num_spatial > 1 else ())
     if num_slices <= 1:
-        arr = np.asarray(devices[:need]).reshape(num_data, num_model)
-        return Mesh(arr, ("data", "model"))
+        arr = np.asarray(devices[:need]).reshape(shape)
+        return Mesh(arr, names)
     try:
         # Real multi-slice topology: lay ICI axes within a slice, DCN across.
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, num_data, num_model),
-            dcn_mesh_shape=(num_slices, 1, 1),
+            mesh_shape=(1,) + shape,
+            dcn_mesh_shape=(num_slices,) + (1,) * len(shape),
             devices=devices[:need],
         )
     except Exception:
         # Single-slice / virtual-device fallback (tests, CPU dry runs).
-        arr = np.asarray(devices[:need]).reshape(num_slices, num_data, num_model)
-    return Mesh(arr, ("dcn", "data", "model"))
+        arr = np.asarray(devices[:need]).reshape((num_slices,) + shape)
+    return Mesh(arr, ("dcn",) + names)
 
 
 def _data_axes(mesh: Mesh):
@@ -67,12 +74,19 @@ def _data_axes(mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, ...) batch sharding: batch over data (and dcn) axes, plus the
+    image height over 'spatial' when the mesh has one (sp training — XLA
+    inserts conv halo exchanges; BN/loss reductions stay global)."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P(_data_axes(mesh), "spatial"))
     return NamedSharding(mesh, P(_data_axes(mesh)))
 
 
 def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a (unroll, batch, ...) stacked microbatch: the leading
     device-loop axis is replicated, the batch axis is data-sharded."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P(None, _data_axes(mesh), "spatial"))
     return NamedSharding(mesh, P(None, _data_axes(mesh)))
 
 

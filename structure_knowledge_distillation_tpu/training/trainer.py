@@ -103,9 +103,12 @@ class KDTrainer:
                                         self.g_tx, self.d_tx, last_step=cfg.last_step)
 
         num_slices = getattr(cfg, "num_slices", 1)
+        num_spatial = getattr(cfg, "num_spatial_shards", 1)
+        need = (cfg.num_data_shards * cfg.num_model_shards * num_slices
+                * num_spatial)
         self.mesh = make_mesh(cfg.num_data_shards, cfg.num_model_shards,
-                              num_slices=num_slices) \
-            if cfg.num_data_shards * cfg.num_model_shards * num_slices > 1 else None
+                              num_slices=num_slices,
+                              num_spatial=num_spatial) if need > 1 else None
         if self.mesh is not None:
             self.state = shard_state(self.state, self.mesh)
             self.batch_sharding = batch_sharding(self.mesh)

@@ -672,3 +672,43 @@ def test_flat_sgd_matches_optax_chain():
     )
 
     assert int(_set_schedule_count(flat_state, 7).count) == 7
+
+
+def test_spatial_parallel_invariance():
+    """dp=2 × sp=2 (image height sharded across devices): the sharded train
+    step must match the unsharded step — conv halo exchanges, BN statistics
+    over the full batch+space, and every loss reduction are XLA's job under
+    jit sharding (no model code knows about the spatial axis)."""
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh, shard_state,
+    )
+
+    cfg = make_cfg(batch_size=4, ho=False, input_size=(128, 128))
+    state, _, _, _ = build(cfg, batch=4)
+    teacher = TinyNet(width=32)
+    student = TinyNet(width=16)
+    disc = Discriminator(preprocess_mode=1, image_size=17, conv_dim=16)
+    g_tx = make_sgd(cfg.lr_g, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum, cfg.weight_decay)
+    step = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+
+    key = jax.random.PRNGKey(29)
+    images = jax.random.normal(key, (4, 128, 128, 3), jnp.float32)
+    labels = jax.random.randint(key, (4, 128, 128), 0, CLASSES)
+    ref_state, ref_metrics = jax.jit(step)(state, images, labels)
+
+    mesh = make_mesh(num_data=2, num_model=1, num_spatial=2)
+    assert mesh.axis_names == ("data", "model", "spatial")
+    bs = batch_sharding(mesh)
+    assert "spatial" in str(bs.spec)
+    sh_state = shard_state(state, mesh)
+    new_state, metrics = jax.jit(step)(
+        sh_state, jax.device_put(images, bs), jax.device_put(labels, bs))
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(new_state.student_stats),
+                    jax.tree.leaves(ref_state.student_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
