@@ -25,3 +25,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Convs/dots must run at exact f32 for parity-vs-torch assertions.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The suite is compile-dominated (full-model train steps at 256²+ on one CPU
+# core take minutes each to build). A persistent XLA compile cache makes
+# repeat suite runs hit warm entries; results are unaffected.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sskd_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
