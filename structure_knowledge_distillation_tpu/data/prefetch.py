@@ -98,8 +98,17 @@ def chunk_batches(iterator: Iterator, unroll: int) -> Iterator[Chunk]:
         yield emit(buf, len(buf))
 
 
+class _ProducerError(NamedTuple):
+    """Carries a producer-thread exception to the consuming thread."""
+
+    exc: BaseException
+
+
 def device_prefetch(iterator: Iterator, sharding=None, buffer_size: int = 2) -> Iterator:
-    """Wrap a host batch iterator; device_put happens `buffer_size` ahead."""
+    """Wrap a host batch iterator; device_put happens `buffer_size` ahead.
+
+    Producer-thread exceptions are re-raised in the consumer (they would
+    otherwise truncate the epoch silently)."""
 
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     sentinel = object()
@@ -113,7 +122,11 @@ def device_prefetch(iterator: Iterator, sharding=None, buffer_size: int = 2) -> 
         try:
             for item in iterator:
                 q.put(jax.tree.map(_put, item))
-        finally:
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            # A swallowed loader error would end a 40k-step run silently, as
+            # if the data had simply run out; surface it on the main thread.
+            q.put(_ProducerError(e))
+        else:
             q.put(sentinel)
 
     thread = threading.Thread(target=producer, daemon=True)
@@ -122,4 +135,6 @@ def device_prefetch(iterator: Iterator, sharding=None, buffer_size: int = 2) -> 
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, _ProducerError):
+            raise item.exc
         yield item

@@ -29,11 +29,10 @@ def test_device_prefetch_propagates_producer_errors():
 
     it = device_prefetch(gen(), buffer_size=1)
     next(it)
-    try:
-        list(it)
-    except RuntimeError:
-        pass  # surfaced (not swallowed by the thread) — or iteration just ends
-    # either way the iterator must terminate rather than hang
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)  # the producer-thread error must surface, not truncate
 
 
 def test_metrics_writer_jsonl_roundtrip(tmp_path):
