@@ -1,6 +1,8 @@
-"""Composite ONE-STEP parity: the jitted KD train step vs a literal torch
+"""Composite parity: the jitted KD train step vs a literal torch
 implementation of `NetModel.optimize_parameters` (reference
-networks/kd_model.py:118-173).
+networks/kd_model.py:118-173) — one step, and a 3-step trajectory with
+persistent optimizers (momentum/schedule/BN/spectral state carried across
+step boundaries).
 
 Every loss, the SGD rule, the spectral update count, and each model forward
 are individually parity-tested elsewhere; this test is the composition gate:
@@ -245,13 +247,28 @@ def pairwise_t(feat_s, feat_t, scale):
     return diff.pow(2).sum() / ((hh * ww) ** 2) / n
 
 
-def torch_optimize_parameters(st_t, st_s, st_d, images, labels, cfg, alpha):
+def torch_optimize_parameters(st_t, st_s, st_d, images, labels, cfg, alpha,
+                              g_opt=None, d_opt=None, lr_g=None, lr_d=None):
     """Literal functional `optimize_parameters` (kd_model.py:118-173 +
-    criterion.py): returns the loss scalars after performing both updates."""
-    g_opt = torch.optim.SGD(st_s.params(), lr=cfg.lr_g, momentum=cfg.momentum,
-                            weight_decay=cfg.weight_decay)
-    d_opt = torch.optim.SGD(st_d.params(), lr=cfg.lr_d, momentum=cfg.momentum,
-                            weight_decay=cfg.weight_decay)
+    criterion.py): returns the loss scalars after performing both updates.
+
+    Pass persistent `g_opt`/`d_opt` (and per-step `lr_g`/`lr_d`, the
+    reference's adjust_learning_rate, kd_model.py:110-117) to run multi-step
+    trajectories with momentum buffers carried across steps."""
+    if g_opt is None:
+        g_opt = torch.optim.SGD(st_s.params(), lr=cfg.lr_g,
+                                momentum=cfg.momentum,
+                                weight_decay=cfg.weight_decay)
+    if d_opt is None:
+        d_opt = torch.optim.SGD(st_d.params(), lr=cfg.lr_d,
+                                momentum=cfg.momentum,
+                                weight_decay=cfg.weight_decay)
+    if lr_g is not None:
+        for pg in g_opt.param_groups:
+            pg["lr"] = lr_g
+    if lr_d is not None:
+        for pg in d_opt.param_groups:
+            pg["lr"] = lr_d
     imsize = cfg.imsize_for_adv
 
     with torch.no_grad():
@@ -335,10 +352,14 @@ def _randomized_vars(rng_np, template):
     return out
 
 
-def _run_composite(adv_loss_type: str, pi: bool, pa: bool):
+def _run_composite(adv_loss_type: str, pi: bool, pa: bool, n_steps: int = 1):
+    # Trajectory runs use a SHORT schedule (num_steps=4): the poly lr then
+    # decays 25%/step, so a frozen or mis-offset schedule shifts the
+    # cumulative update by ~50% — far above the measured f32 drift floor
+    # (see the trajectory test's tolerance note).
     cfg = TrainConfig(
         classes_num=CLASSES, batch_size=2, input_size=(256, 256),
-        imsize_for_adv=33, adv_conv_dim=16, num_steps=100,
+        imsize_for_adv=33, adv_conv_dim=16, num_steps=100 if n_steps == 1 else 4,
         pi=pi, pa=pa, ho=True, adv_loss_type=adv_loss_type,
         lambda_pi=10.0, lambda_pa=0.7, lambda_d=0.13, lambda_gp=10.0,
         pool_scale=0.5, compute_dtype="float32",
@@ -352,9 +373,11 @@ def _run_composite(adv_loss_type: str, pi: bool, pa: bool):
 
     rng_np = np.random.RandomState(42)
     key = jax.random.PRNGKey(0)
-    images = rng_np.randn(2, 256, 256, 3).astype(np.float32)
-    labels = rng_np.randint(0, CLASSES, (2, 256, 256)).astype(np.int32)
-    labels[0, :16] = 255  # exercise ignore_index
+    images_k = rng_np.randn(n_steps, 2, 256, 256, 3).astype(np.float32)
+    labels_k = rng_np.randint(0, CLASSES,
+                              (n_steps, 2, 256, 256)).astype(np.int32)
+    labels_k[:, 0, :16] = 255  # exercise ignore_index
+    images, labels = images_k[0], labels_k[0]
 
     t_tmpl = teacher.init(key, jnp.asarray(images[:1]), train=False)
     s_tmpl = student.init(key, jnp.asarray(images[:1]), train=False)
@@ -375,31 +398,55 @@ def _run_composite(adv_loss_type: str, pi: bool, pa: bool):
     sd_s = ckpt.export_torch_respspnet(s_vars)
     sd_d = ckpt.export_torch_discriminator(d_vars)
 
-    # --- JAX step
-    step_fn = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx))
-    new_state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(labels))
-    metrics = {k: float(v) for k, v in metrics.items()}
-
-    # --- the identical GP α (jax RNG is deterministic: train_step.py:68-69)
-    step_rng = jax.random.fold_in(state.rng, state.step)
-    _, gp_rng = jax.random.split(step_rng)
-    alpha = torch.tensor(np.asarray(
-        jax.random.uniform(gp_rng, (2, 1, 1, 1), jnp.float32)))
-
-    # --- torch step
+    # --- torch state + PERSISTENT optimizers (momentum buffers carry across
+    # steps, exactly the reference's two long-lived SGDs, kd_model.py:74-75)
     st_t = TorchNetState(sd_t, trainable=False)
     st_s = TorchNetState(sd_s, trainable=True)
     st_d = TorchNetState(sd_d, trainable=True)
     before_s, before_d = st_s.numpy(), st_d.numpy()
-    t_losses = torch_optimize_parameters(
-        st_t, st_s, st_d,
-        torch.tensor(images.transpose(0, 3, 1, 2)),
-        torch.tensor(labels.astype(np.int64)), cfg, alpha)
+    g_opt = torch.optim.SGD(st_s.params(), lr=cfg.lr_g, momentum=cfg.momentum,
+                            weight_decay=cfg.weight_decay)
+    d_opt = torch.optim.SGD(st_d.params(), lr=cfg.lr_d, momentum=cfg.momentum,
+                            weight_decay=cfg.weight_decay)
 
-    # --- losses agree (all terms the recipe enables)
-    for k in t_losses:
-        np.testing.assert_allclose(metrics[k], t_losses[k], rtol=2e-3,
-                                   atol=2e-4, err_msg=k)
+    step_fn = jax.jit(make_train_step(cfg, teacher, student, disc, g_tx, d_tx))
+    rng0 = state.rng
+    for i in range(n_steps):
+        state, metrics = step_fn(state, jnp.asarray(images_k[i]),
+                                 jnp.asarray(labels_k[i]))
+        metrics = {k: float(v) for k, v in metrics.items()}
+
+        # the identical GP α (per-step rng = fold_in(rng, step) is
+        # deterministic: train_step.py:78-79)
+        _, gp_rng = jax.random.split(jax.random.fold_in(rng0, i))
+        alpha = torch.tensor(np.asarray(
+            jax.random.uniform(gp_rng, (2, 1, 1, 1), jnp.float32)))
+        # reference adjust_learning_rate: poly decay evaluated at step i for
+        # BOTH optimizers (kd_model.py:110-117)
+        frac = (cfg.num_steps - i) / cfg.num_steps
+        t_losses = torch_optimize_parameters(
+            st_t, st_s, st_d,
+            torch.tensor(images_k[i].transpose(0, 3, 1, 2)),
+            torch.tensor(labels_k[i].astype(np.int64)), cfg, alpha,
+            g_opt=g_opt, d_opt=d_opt,
+            lr_g=cfg.lr_g * frac ** cfg.power,
+            lr_d=cfg.lr_d * frac ** cfg.power)
+
+        # losses agree at EVERY step. Tolerances are calibrated to MEASURED
+        # chaotic drift, not wishful tightness: the two f32 trajectories
+        # accumulate reductions in different orders (≈1e-3 relative per-step
+        # update noise), and the GAN dynamics amplify that through the
+        # near-zero-mean adversarial terms (measured: adv_g 22% relative by
+        # step 1 while every parameter tensor stays within 1.2e-1/5e-3
+        # rel-L2 and no tensor diverges structurally). Semantic errors —
+        # dropped momentum, frozen schedule, reset BN/spectral state — move
+        # these losses and the cumulative updates by O(1).
+        rtol = (2e-3, 5e-2, 1e-1)[min(i, 2)]
+        atol = (2e-4, 2e-2, 5e-2)[min(i, 2)]
+        for k in t_losses:
+            np.testing.assert_allclose(metrics[k], t_losses[k], rtol=rtol,
+                                       atol=atol, err_msg=f"step{i}:{k}")
+    new_state = state
 
     # --- post-step state agrees: compare UPDATES (new − old), which is where
     # a wrong λ, detach, or order shows up at full magnitude
@@ -411,25 +458,34 @@ def _run_composite(adv_loss_type: str, pi: bool, pa: bool):
          "spectral": new_state.d_spectral})
     torch_after_s, torch_after_d = st_s.numpy(), st_d.numpy()
 
+    # Single-step: per-element within 6% of the tensor's max update (f32
+    # accumulation order differs — the JAX PSP bottleneck is the factored
+    # form), whole-update rel L2 < 2%, cosine > 0.999 — a wrong λ, detach,
+    # or order moves these by O(1). Trajectory (n_steps > 1): thresholds
+    # follow the measured chaotic-drift envelope (max 1.2e-1 rel-L2 after 3
+    # steps) with ~2.5× margin; a dropped momentum buffer, frozen schedule,
+    # or reset BN/spectral state still lands far outside them.
+    if n_steps == 1:
+        elem_tol, rel_tol, cos_tol = 6e-2, 2e-2, 0.999
+    else:
+        elem_tol, rel_tol, cos_tol = None, 3e-1, 0.95
+
     def compare(after_jax, before, torch_after, label):
-        # Per-element: within 6% of the tensor's max update (f32 accumulation
-        # order differs — the JAX PSP bottleneck is the factored form).
-        # Global: relative L2 error of the whole update < 2%, direction
-        # cosine > 0.999 — a wrong λ, detach, or order moves these by O(1).
         for k in after_jax:
             dj = after_jax[k] - before[k]
             dt = torch_after[k] - before[k]
-            scale = max(np.abs(dt).max(), np.abs(dj).max(), 1e-12)
-            np.testing.assert_allclose(
-                dj, dt, rtol=0, atol=max(6e-2 * scale, 1e-7),
-                err_msg=f"{label}:{k}")
+            if elem_tol is not None:
+                scale = max(np.abs(dt).max(), np.abs(dj).max(), 1e-12)
+                np.testing.assert_allclose(
+                    dj, dt, rtol=0, atol=max(elem_tol * scale, 1e-7),
+                    err_msg=f"{label}:{k}")
             nt = np.linalg.norm(dt)
             if nt > 1e-7:
                 rel = float(np.linalg.norm(dj - dt) / nt)
-                assert rel < 2e-2, (label, k, rel)
+                assert rel < rel_tol, (label, k, rel)
                 cos = float(np.dot(dj.ravel(), dt.ravel())
                             / (np.linalg.norm(dj) * nt + 1e-30))
-                assert cos > 0.999, (label, k, cos)
+                assert cos > cos_tol, (label, k, cos)
 
     compare(after_s, before_s, torch_after_s, "student")
     compare(after_d, before_d, torch_after_d, "discriminator")
@@ -438,6 +494,16 @@ def _run_composite(adv_loss_type: str, pi: bool, pa: bool):
 def test_composite_one_step_matches_torch():
     """Flagship recipe: wgan-gp with all three distillation terms."""
     _run_composite("wgan-gp", pi=True, pa=True)
+
+
+def test_composite_trajectory_matches_torch():
+    """THREE consecutive optimizer steps with a fresh batch each: gates
+    momentum-buffer persistence, the per-step poly-lr advance, BN
+    running-stat threading, and the 4-per-step spectral u/v chain ACROSS
+    step boundaries — the closest in-environment proxy to training-curve
+    parity (one step cannot see a momentum or schedule error; momentum
+    buffers are all zero on step 0)."""
+    _run_composite("wgan-gp", pi=True, pa=True, n_steps=3)
 
 
 def test_composite_one_step_matches_torch_hinge():
