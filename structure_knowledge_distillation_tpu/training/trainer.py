@@ -311,6 +311,41 @@ class KDTrainer:
 
             groups = per_step_groups()
 
+        # Graceful preemption (production TPU jobs receive SIGTERM before
+        # eviction; the reference loses everything since its last cadence
+        # snapshot, train_and_eval.py:27-30): checkpoint at the next step
+        # boundary, then return. Rerunning with the same snapshot_dir
+        # auto-resumes via try_resume/restore_latest.
+        import signal
+
+        self._preempt_requested = False
+
+        def _on_sigterm(signum, frame):
+            self._preempt_requested = True
+            log.info("SIGTERM: checkpointing at the next step boundary")
+
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (fit() driven from a worker)
+            prev_sigterm = None
+
+        try:
+            best = self._fit_loop(groups, cfg, val_loader, eval_out_size,
+                                  writer, best, t_last, steps_since_log,
+                                  profile_dir, profile_start, profile_active)
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+        if writer is not None:
+            writer.close()
+        from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
+
+        ckpt.wait_for_saves()  # drain async checkpoints before returning
+        return best
+
+    def _fit_loop(self, groups, cfg, val_loader, eval_out_size, writer, best,
+                  t_last, steps_since_log, profile_dir, profile_start,
+                  profile_active):
         for start, n_valid, metrics_k in groups:
             end = start + n_valid - 1
             if (profile_dir and not profile_active
@@ -368,11 +403,19 @@ class KDTrainer:
                 self.save_checkpoint(step_idx, mean_iu, is_best=mean_iu > best,
                                      state_step=end)
                 best = max(best, mean_iu)
-        if writer is not None:
-            writer.close()
-        from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
 
-        ckpt.wait_for_saves()  # drain async checkpoints before returning
+            if self._preempt_requested:
+                from structure_knowledge_distillation_tpu.training import (
+                    checkpoint as ckpt,
+                )
+
+                ckpt.save_state_async(self._orbax_dir, self.state, step=end)
+                ckpt.wait_for_saves()
+                log.info(
+                    "preempted: full state saved at step %d to %s; rerun "
+                    "with the same snapshot_dir to auto-resume", end,
+                    self._orbax_dir)
+                break
         return best
 
     # ------------------------------------------------------------------- eval

@@ -456,6 +456,47 @@ def test_trainer_auto_resume(tmp_path):
     assert int(trainer2.state.step) > 2
 
 
+def test_trainer_preemption_checkpoint(tmp_path):
+    """Graceful preemption: SIGTERM mid-run checkpoints at the next step
+    boundary, stops, restores the previous handler, and a fresh trainer
+    auto-resumes from the saved step (production TPU jobs receive SIGTERM
+    before eviction; the reference lost everything since its last cadence
+    snapshot, train_and_eval.py:27-30)."""
+    import os
+    import signal
+
+    from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
+    from structure_knowledge_distillation_tpu.data import batch_iterator
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(128, 128), num_steps=6,
+        teacher_layers=(1, 1, 1, 1), ho=False, compute_dtype="float32",
+        snapshot_dir=str(tmp_path / "snap"), log_path="", log_every=100,
+        eval_every=100, seed=3,
+    )
+    trainer = KDTrainer(cfg)
+    train_ds = SyntheticSegDataset(length=12, crop_size=(128, 128))
+
+    def sigterm_iter():
+        for i, b in enumerate(batch_iterator(train_ds, 2, shuffle=False)):
+            if i == 2:  # "eviction notice" while fetching the third batch
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    trainer.fit(sigterm_iter(), None, eval_out_size=(128, 128))
+    stopped = int(trainer.state.step)
+    assert 3 <= stopped < 6, stopped  # stopped at the boundary, not the end
+    assert signal.getsignal(signal.SIGTERM) == prev_handler
+
+    trainer2 = KDTrainer(cfg)  # fresh process stand-in
+    assert trainer2.try_resume() == stopped
+    for a, b in zip(jax.tree.leaves(trainer.state.student_params),
+                    jax.tree.leaves(trainer2.state.student_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_repeated_evals_get_fresh_loader(tmp_path):
     """fit() with a val-loader factory evaluates correctly more than once."""
     from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
