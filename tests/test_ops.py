@@ -175,7 +175,7 @@ def test_plain_batchnorm_matches_torch():
 def test_sync_bn_matches_global_batch():
     """Per-shard pmean statistics == full-batch statistics (the invariant the
     reference's InPlaceABNSync queue protocol existed to preserve)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devices = np.array(jax.devices()[:8])
@@ -201,7 +201,7 @@ def test_sync_bn_matches_global_batch():
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=P("data"), out_specs=(P("data"), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     y_sync, mean_sync, var_sync = sharded(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y_sync), np.asarray(y_ref), rtol=1e-4, atol=1e-4)

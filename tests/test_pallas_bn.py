@@ -88,7 +88,7 @@ def test_fused_eval_matches_pure():
 
 def test_fused_sync_matches_global():
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(8, 4, 4, 8).astype(np.float32))
@@ -114,7 +114,7 @@ def test_fused_sync_matches_global():
 
     z, mean, gx = shard_map(
         shard_fn, mesh=mesh, in_specs=(P("data"), P("data")),
-        out_specs=(P("data"), P(), P("data")), check_rep=False,
+        out_specs=(P("data"), P(), P("data")), check_vma=False,
     )(x, ct)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), rtol=1e-5, atol=1e-6)
