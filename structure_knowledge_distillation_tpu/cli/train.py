@@ -197,8 +197,14 @@ def main(argv=None):
         else:
             trainer.try_resume()
 
+    # Multi-controller pods (one process per host, jax.distributed
+    # initialized by the launcher): every process draws the identical
+    # shuffled order and loads only its slice of each global batch;
+    # put_global assembles the logical global array from the local shards.
     host_iter = batch_iterator(train_ds, cfg.batch_size, shuffle=True,
-                               seed=cfg.seed, num_workers=cfg.num_workers)
+                               seed=cfg.seed, num_workers=cfg.num_workers,
+                               num_shards=jax.process_count(),
+                               shard_index=jax.process_index())
     # narrow the host→device wire format (see cast_batches): bf16 images
     # match the model's own input cast; uint8 labels fit every supported
     # dataset (≤254 classes + ignore 255); --wire-format u8 re-quantizes

@@ -12,6 +12,7 @@ from structure_knowledge_distillation_tpu.data.prefetch import (
     cast_batches,
     chunk_batches,
     device_prefetch,
+    put_global,
 )
 
 # (eval resolution, default class count) per dataset — the reference's
@@ -36,6 +37,7 @@ __all__ = [
     "Chunk",
     "cast_batches",
     "chunk_batches",
+    "put_global",
     "IMG_MEAN_BGR",
     "CityscapesDataset",
     "CityscapesTestDataset",

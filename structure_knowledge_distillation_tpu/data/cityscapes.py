@@ -293,6 +293,8 @@ def batch_iterator(
     drop_last: bool = True,
     epochs: int = 1,
     num_workers: int = 0,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> Iterator[tuple]:
     """Host-side batcher producing stacked NHWC numpy batches.
 
@@ -303,7 +305,23 @@ def batch_iterator(
     holds its own dataset copy + rng stream, so augmentation draws differ
     from the serial order — exactly the torch-workers property). Up to 2
     batches are in flight ahead of the consumer.
+
+    Multi-host (multi-controller JAX): pass num_shards=jax.process_count(),
+    shard_index=jax.process_index(). `batch_size` stays the GLOBAL batch;
+    every process draws the identical shuffled order (same seeded rng) and
+    takes its contiguous batch_size/num_shards slice of each global batch,
+    so the per-process iterators partition each global batch exactly —
+    assemble with jax.make_array_from_process_local_data (see
+    data.prefetch.put_global).
     """
+    if batch_size % num_shards:
+        raise ValueError(f"global batch {batch_size} not divisible by "
+                         f"{num_shards} processes")
+    if num_shards > 1 and not drop_last:
+        raise ValueError("multi-host sharding requires drop_last "
+                         "(a short tail batch cannot be partitioned evenly)")
+    local = batch_size // num_shards
+    lo, hi = shard_index * local, (shard_index + 1) * local
     rng = np.random.default_rng(seed)
     n = len(dataset)
     end = n - (n % batch_size) if drop_last else n
@@ -314,7 +332,7 @@ def batch_iterator(
             if shuffle:
                 rng.shuffle(order)
             for start in range(0, end, batch_size):
-                yield order[start:start + batch_size]
+                yield order[start:start + batch_size][lo:hi]
 
     if num_workers <= 0:
         for idx in index_batches():

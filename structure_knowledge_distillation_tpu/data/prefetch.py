@@ -15,7 +15,27 @@ from typing import Iterator, NamedTuple
 import jax
 import numpy as np
 
-__all__ = ["device_prefetch", "Chunk", "chunk_batches", "cast_batches"]
+__all__ = ["device_prefetch", "Chunk", "chunk_batches", "cast_batches",
+           "put_global"]
+
+
+def put_global(x, sharding):
+    """Place a host batch onto the mesh, multi-controller-safe.
+
+    Single-process (this environment, single-host pods): plain device_put.
+    Multi-process (one controller per TPU host, jax.distributed
+    initialized): each process holds only its OWN slice of the global batch
+    (batch_iterator num_shards/shard_index), and
+    jax.make_array_from_process_local_data assembles the logical global
+    array from the per-process shards — no host ever materializes the full
+    batch. The returned jax.Array is identical in either mode."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding) if sharding is not None \
+            else jax.device_put(x)
+    if sharding is None:
+        raise ValueError("multi-process placement requires an explicit "
+                         "sharding (the global array layout)")
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
 
 def cast_batches(iterator: Iterator, image_dtype=None, label_dtype=None,
@@ -116,7 +136,7 @@ def device_prefetch(iterator: Iterator, sharding=None, buffer_size: int = 2) -> 
     def _put(x):
         if not isinstance(x, (np.ndarray, jax.Array)):
             return x  # names / metadata stay on host
-        return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+        return put_global(x, sharding)
 
     def producer():
         try:

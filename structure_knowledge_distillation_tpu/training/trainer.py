@@ -284,9 +284,13 @@ class KDTrainer:
                     stacked_batch_sharding,
                 )
 
+                from structure_knowledge_distillation_tpu.data.prefetch import (
+                    put_global,
+                )
+
                 sh = stacked_batch_sharding(self.mesh)
-                images_k = jax.device_put(images_k, sh)
-                labels_k = jax.device_put(labels_k, sh)
+                images_k = put_global(images_k, sh)
+                labels_k = put_global(labels_k, sh)
             valid_k = np.arange(unroll) < n_valid
             self.state, metrics_k = self.train_loop(
                 self.state, images_k, labels_k, valid_k)
@@ -302,8 +306,12 @@ class KDTrainer:
                     images, labels = batch[0], batch[1]
                     if (self.batch_sharding is not None
                             and not hasattr(images, "sharding")):
-                        images = jax.device_put(images, self.batch_sharding)
-                        labels = jax.device_put(labels, self.batch_sharding)
+                        from structure_knowledge_distillation_tpu.data.prefetch import (
+                            put_global,
+                        )
+
+                        images = put_global(images, self.batch_sharding)
+                        labels = put_global(labels, self.batch_sharding)
                     self.state, metrics = self.train_step(
                         self.state, images, labels)
                     yield step, 1, jax.tree.map(lambda m: m[None], metrics)

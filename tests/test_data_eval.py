@@ -89,6 +89,60 @@ def test_batch_iterator_shapes():
     assert len(names) == 2
 
 
+def test_batch_iterator_process_shards_partition_each_global_batch():
+    """Multi-host contract (batch_iterator num_shards/shard_index): every
+    process draws the identical shuffled order and takes its contiguous
+    slice, so the per-process batches concatenate EXACTLY to the unsharded
+    global batch — the invariant jax.make_array_from_process_local_data
+    assembly (data.prefetch.put_global) relies on."""
+    import numpy as np
+    import pytest
+
+    ds = SyntheticSegDataset(length=12, crop_size=(8, 8), num_classes=5)
+    global_batches = list(batch_iterator(ds, 4, shuffle=True, seed=7))
+    shard_iters = [list(batch_iterator(ds, 4, shuffle=True, seed=7,
+                                       num_shards=2, shard_index=i))
+                   for i in range(2)]
+    assert len(shard_iters[0]) == len(global_batches) == 3
+    for g, s0, s1 in zip(global_batches, *shard_iters):
+        assert s0[0].shape[0] == s1[0].shape[0] == 2  # local = global / 2
+        np.testing.assert_array_equal(
+            np.concatenate([s0[0], s1[0]]), g[0])  # images partition
+        np.testing.assert_array_equal(
+            np.concatenate([s0[1], s1[1]]), g[1])  # labels partition
+        assert list(s0[3]) + list(s1[3]) == list(g[3])  # names too
+
+    with pytest.raises(ValueError, match="divisible"):
+        next(iter(batch_iterator(ds, 3, num_shards=2)))
+    with pytest.raises(ValueError, match="drop_last"):
+        next(iter(batch_iterator(ds, 4, num_shards=2, drop_last=False)))
+
+
+def test_put_global_matches_device_put_single_process():
+    """put_global is the placement used by device_prefetch and the trainer:
+    in a single-controller process it must be exactly device_put (the
+    multi-process branch follows jax.make_array_from_process_local_data's
+    documented contract and needs real multi-host to execute)."""
+    import jax
+    import numpy as np
+
+    from structure_knowledge_distillation_tpu.data import put_global
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+    )
+
+    mesh = make_mesh(num_data=4, num_model=1)
+    sh = batch_sharding(mesh)
+    x = np.arange(4 * 6, dtype=np.float32).reshape(4, 6)
+    a = put_global(x, sh)
+    b = jax.device_put(x, sh)
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sharding=None falls back to plain device_put
+    np.testing.assert_array_equal(np.asarray(put_global(x, None)), x)
+
+
 def test_confusion_matrix_matches_bincount_reference():
     rng = np.random.default_rng(1)
     c = 5
