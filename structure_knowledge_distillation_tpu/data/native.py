@@ -44,8 +44,14 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
-            return None
+        src = os.path.join(_NATIVE_DIR, "augment.cpp")
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if (not os.path.exists(_LIB_PATH) or stale) and not _build():
+            if stale:  # keep running with the older .so rather than dying
+                log.warning("native rebuild failed; using the stale library")
+            else:
+                return None
         lib = ctypes.CDLL(_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)

@@ -38,11 +38,19 @@ void skd_augment(const uint8_t* img, const uint8_t* label,
                  int h_off, int w_off, int flip,
                  const float* mean, const uint8_t* lut, int ignore_label,
                  float* out_img, int32_t* out_label) {
-  const int new_h = (int)std::lround(src_h * f_scale);
-  const int new_w = (int)std::lround(src_w * f_scale);
-  // cv2 convention: scale = src/dst for the resized image
-  const double sy = (double)src_h / new_h;
-  const double sx = (double)src_w / new_w;
+  // dst size: cv2's cvRound = round-half-to-even (nearbyint under the
+  // default FE_TONEAREST mode); lround's half-away rounding disagrees at
+  // exact .5 products (e.g. 55*0.7 = 38.5 -> cv2 38, lround 39), which
+  // would shift the pad/crop bounds by a row vs the cv2 reference path.
+  const int new_h = (int)std::nearbyint(src_h * f_scale);
+  const int new_w = (int)std::nearbyint(src_w * f_scale);
+  // cv2.resize called with EXPLICIT fx/fy maps through the given factor
+  // (inverse scale = 1/f) — NOT src/dst recomputed from the rounded dst
+  // size (those differ whenever src*f is fractional, e.g. 87*1.7 -> 148:
+  // 87/148 != 1/1.7, shifting ~5% of nearest indices; verified empirically
+  // against cv2 for INTER_NEAREST and INTER_LINEAR).
+  const double sy = 1.0 / f_scale;
+  const double sx = 1.0 / f_scale;
 
   for (int y = 0; y < crop_h; ++y) {
     const int ry = y + h_off;  // row in the (padded) resized image

@@ -234,6 +234,25 @@ def test_native_augment_matches_numpy_path(tmp_path):
         # pads (label==255 region beyond content) must be exactly zero in both
         assert img_b.dtype == np.float32 and lab_b.dtype == np.int32
 
+    # randomized sweep: frame/crop geometries hitting scale-up, scale-down,
+    # pad-both-dims, pad-one-dim, and crop-without-pad paths
+    rng = np.random.default_rng(99)
+    for case in range(8):
+        h, w = int(rng.integers(20, 90)), int(rng.integers(20, 90))
+        ch, cw = int(rng.integers(12, 64)), int(rng.integers(12, 64))
+        seed = int(rng.integers(0, 1000))
+        root, lst = _write_fake_cityscapes(tmp_path / f"sweep{case}", n=1,
+                                           h=h, w=w)
+        ds_np = CityscapesDataset(root, lst, crop_size=(ch, cw), scale=True,
+                                  mirror=True, seed=seed, use_native=False)
+        ds_nat = CityscapesDataset(root, lst, crop_size=(ch, cw), scale=True,
+                                   mirror=True, seed=seed, use_native=True)
+        img_a, lab_a, _, _ = ds_np[0]
+        img_b, lab_b, _, _ = ds_nat[0]
+        msg = f"frame {(h, w)} crop {(ch, cw)} seed {seed}"
+        np.testing.assert_array_equal(lab_a, lab_b, err_msg=msg)
+        np.testing.assert_allclose(img_a, img_b, atol=1.0, err_msg=msg)
+
 
 def test_native_confusion_matches_jit():
     import pytest as _pytest

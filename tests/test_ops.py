@@ -73,6 +73,48 @@ def test_adaptive_avg_pool_matches_torch(hw, out):
     np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs), rtol=1e-5, atol=1e-5)
 
 
+def test_op_parity_randomized_sweep():
+    """Seeded random-shape sweep of the three resize/pool primitives vs
+    torch — the hand-picked cases above pin the recipe's shapes; this guards
+    the rest of the configuration space (odd sizes, up/down mixes, kernels
+    larger than the input, uneven adaptive bins)."""
+    rng = np.random.RandomState(1234)
+    for _ in range(24):
+        ih, iw = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        oh, ow = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        c = int(rng.randint(1, 5))
+        x = rng.randn(2, ih, iw, c).astype(np.float32)
+        ours = resize_bilinear_align_corners(jnp.asarray(x), (oh, ow))
+        theirs = F.interpolate(nchw(x), size=(oh, ow), mode="bilinear",
+                               align_corners=True)
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=f"resize {(ih, iw)}->{(oh, ow)}")
+
+        aoh, aow = int(rng.randint(1, ih + 1)), int(rng.randint(1, iw + 1))
+        ours = adaptive_avg_pool_2d(jnp.asarray(x), (aoh, aow))
+        theirs = F.adaptive_avg_pool2d(nchw(x), (aoh, aow))
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"adaptive {(ih, iw)}->{(aoh, aow)}")
+
+    for _ in range(24):
+        ih, iw = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+        kh, kw = int(rng.randint(1, 6)), int(rng.randint(1, 6))
+        sh, sw = int(rng.randint(1, 5)), int(rng.randint(1, 5))
+        ph, pw = int(rng.randint(0, kh // 2 + 1)), int(rng.randint(0, kw // 2 + 1))
+        ceil = bool(rng.randint(0, 2))
+        x = rng.randn(2, ih, iw, 3).astype(np.float32)
+        ours = max_pool_2d(jnp.asarray(x), (kh, kw), (sh, sw), (ph, pw),
+                           ceil_mode=ceil)
+        theirs = F.max_pool2d(nchw(x), (kh, kw), (sh, sw), (ph, pw),
+                              ceil_mode=ceil)
+        msg = f"pool {(ih, iw)} k{(kh, kw)} s{(sh, sw)} p{(ph, pw)} ceil={ceil}"
+        assert ours.shape[1:3] == theirs.shape[2:4], msg
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                                   rtol=1e-6, atol=1e-6, err_msg=msg)
+
+
 class _TorchABN(torch.nn.Module):
     """Literal translation of the reference ABN semantics for the oracle:
     gamma = |weight| + eps (reference: libs/src/bn.cu:153), then activation."""
