@@ -103,6 +103,49 @@ def test_pairwise_affinity_matches_reference_formula():
     np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-4)
 
 
+def test_distill_losses_randomized_sweep():
+    """Seeded random-shape sweep of Pi and Pa vs the literal torch
+    translations — the fixed-shape tests above pin the recipe's geometry;
+    this guards odd sizes, channel mixes, and every pool scale."""
+    rng = np.random.RandomState(77)
+    for _ in range(12):
+        n = int(rng.randint(1, 4))
+        h, w = int(rng.randint(2, 15)), int(rng.randint(2, 15))
+        c = int(rng.randint(2, 12))
+        s = rng.randn(n, h, w, c).astype(np.float32)
+        t = rng.randn(n, h, w, c).astype(np.float32)
+        ours = pixel_wise_kl(jnp.asarray(s), jnp.asarray(t))
+        ts, tt = nchw(s), nchw(t)
+        N, C, W, H = ts.shape
+        softmax_t = F.softmax(tt.permute(0, 2, 3, 1).reshape(-1, C), dim=1)
+        logsoftmax_s = F.log_softmax(ts.permute(0, 2, 3, 1).reshape(-1, C),
+                                     dim=1)
+        theirs = torch.sum(-softmax_t * logsoftmax_s) / W / H
+        np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-4,
+                                   err_msg=f"pi {s.shape}")
+
+    for _ in range(12):
+        n = int(rng.randint(1, 3))
+        h, w = int(rng.randint(4, 17)), int(rng.randint(4, 17))
+        cs, ct = int(rng.randint(2, 9)), int(rng.randint(2, 17))
+        scale = float(rng.choice([0.25, 0.5, 0.75, 1.0]))
+        if int(h * scale) < 1 or int(w * scale) < 1:
+            continue
+        fs = rng.randn(n, h, w, cs).astype(np.float32)
+        ft = rng.randn(n, h, w, ct).astype(np.float32)
+        ours = pairwise_affinity_loss(jnp.asarray(fs), jnp.asarray(ft),
+                                      scale=scale)
+        tfs, tft = nchw(fs), nchw(ft)
+        total_w, total_h = tft.shape[2], tft.shape[3]
+        kw, kh = int(total_w * scale), int(total_h * scale)
+        pool = torch.nn.MaxPool2d(kernel_size=(kw, kh), stride=(kw, kh),
+                                  padding=0, ceil_mode=True)
+        theirs = _torch_sim_dis(pool(tfs), pool(tft))
+        np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-3,
+                                   atol=1e-7,
+                                   err_msg=f"pa {fs.shape} {ft.shape} {scale}")
+
+
 def test_adv_losses_match_reference_formula():
     rng = np.random.RandomState(4)
     d_s = rng.randn(4, 1, 1, 1).astype(np.float32)
@@ -193,22 +236,11 @@ def test_criterion_ohem_dsn_runs():
     assert np.isfinite(float(loss))
 
 
-def test_ohem_matches_scipy_zoom_oracle():
-    """Threshold search + final loss vs a literal translation of the
-    reference OhemCrossEntropy2d (utils/criterion.py:11-90), including the
-    scipy zoom(order=1)/zoom(order=0) 1/8 downsample."""
+def _ohem_scipy_oracle(logits, labels, thresh, min_kept_full, factor):
+    """Literal translation of the reference OhemCrossEntropy2d
+    (utils/criterion.py:11-90), including the scipy zoom(order=1)/
+    zoom(order=0) downsample; returns the expected kept-mean CE."""
     import scipy.ndimage as nd
-
-    from structure_knowledge_distillation_tpu.losses import ohem_cross_entropy
-
-    rng = np.random.RandomState(3)
-    n, h, w, c = 2, 32, 48, 6
-    factor, thresh, min_kept_full = 4, 0.3, 16 * 16  # -> k=16 on the ds grid
-    logits = rng.randn(n, h, w, c).astype(np.float32) * 2.0
-    labels = rng.randint(0, c, (n, h, w)).astype(np.int32)
-    labels[0, :4] = 255  # some ignored rows
-
-    # ---- oracle (NCHW numpy, reference semantics)
     np_predict = np.transpose(
         np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1)), (0, 3, 1, 2)
     ).astype(np.float64)
@@ -241,12 +273,58 @@ def test_ohem_matches_scipy_zoom_oracle():
     logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
     ce = -np.take_along_axis(
         logp, np.where(labels != 255, labels, 0)[..., None], axis=-1)[..., 0]
-    expected = ce[kept].mean()
+    return ce[kept].mean()
 
+
+def test_ohem_matches_scipy_zoom_oracle():
+    """Threshold search + final loss vs the literal reference translation
+    (utils/criterion.py:11-90) at the recipe-shaped config."""
+    from structure_knowledge_distillation_tpu.losses import ohem_cross_entropy
+
+    rng = np.random.RandomState(3)
+    n, h, w, c = 2, 32, 48, 6
+    factor, thresh, min_kept_full = 4, 0.3, 16 * 16  # -> k=16 on the ds grid
+    logits = rng.randn(n, h, w, c).astype(np.float32) * 2.0
+    labels = rng.randint(0, c, (n, h, w)).astype(np.int32)
+    labels[0, :4] = 255  # some ignored rows
+
+    expected = _ohem_scipy_oracle(logits, labels, thresh, min_kept_full, factor)
     got = ohem_cross_entropy(
         jnp.asarray(logits), jnp.asarray(labels), ignore_index=255,
         thresh=thresh, min_kept=min_kept_full, factor=factor)
     np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+def test_ohem_randomized_sweep():
+    """Seeded random sweep over OHEM configurations (shape, factor,
+    threshold, min_kept regimes incl. 0 and larger-than-valid, ignore
+    density) vs the scipy oracle."""
+    from structure_knowledge_distillation_tpu.losses import ohem_cross_entropy
+
+    rng = np.random.RandomState(11)
+    for case in range(10):
+        factor = int(rng.choice([2, 4]))
+        n = int(rng.randint(1, 3))
+        h = factor * int(rng.randint(3, 11))
+        w = factor * int(rng.randint(3, 11))
+        c = int(rng.randint(2, 8))
+        thresh = float(rng.uniform(0.1, 0.9))
+        regime = case % 3  # 0: none, 1: moderate, 2: more than valid
+        min_kept_full = (0, (h // factor) * (w // factor) * factor * factor // 3,
+                         4 * n * h * w)[regime]
+        logits = rng.randn(n, h, w, c).astype(np.float32) * 2.0
+        labels = rng.randint(0, c, (n, h, w)).astype(np.int32)
+        mask = rng.rand(n, h, w) < rng.uniform(0.0, 0.4)
+        labels[mask] = 255
+        expected = _ohem_scipy_oracle(logits, labels, thresh, min_kept_full,
+                                      factor)
+        got = ohem_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), ignore_index=255,
+            thresh=thresh, min_kept=min_kept_full, factor=factor)
+        msg = (f"case {case}: {(n, h, w, c)} factor {factor} thresh "
+               f"{thresh:.3f} min_kept {min_kept_full}")
+        np.testing.assert_allclose(float(got), expected, rtol=1e-4,
+                                   err_msg=msg)
 
 
 def test_ohem_min_kept_zero_keeps_thresh():
