@@ -314,3 +314,59 @@ def test_abn_train_custom_vjp_matches_autodiff():
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4,
                     err_msg=f"{activation} abs_gamma={abs_gamma} arg{i}")
+
+
+def test_abn_vjp_randomized_sweep():
+    """Randomized shape/scale sweep of the abn_train custom VJP vs autodiff.
+
+    The fixed-shape test pins one (2,5,7,6) case; this varies channel counts
+    across the sublane boundary, non-centered/anisotropic inputs (per-channel
+    scale up to 30x, offsets up to +-5 — stressing the var = E[x^2]-E[x]^2
+    cancellation the analytic backward depends on), slopes, and eps."""
+    from structure_knowledge_distillation_tpu.ops.batch_norm import (
+        _apply_activation, abn_train,
+    )
+
+    rng = np.random.RandomState(99)
+    acts = ("none", "leaky_relu", "elu")
+    for trial in range(8):
+        n = int(rng.randint(1, 4))
+        h = int(rng.randint(2, 9))
+        w_ = int(rng.randint(2, 9))
+        c = int(rng.choice([1, 3, 8, 17, 32, 64]))
+        scale = rng.uniform(0.1, 30.0, size=c).astype(np.float32)
+        offset = rng.uniform(-5.0, 5.0, size=c).astype(np.float32)
+        x = jnp.asarray(rng.randn(n, h, w_, c).astype(np.float32) * scale
+                        + offset)
+        wt = jnp.asarray(rng.randn(c).astype(np.float32))
+        b = jnp.asarray(rng.randn(c).astype(np.float32))
+        dz = jnp.asarray(rng.randn(n, h, w_, c).astype(np.float32))
+        eps = float(rng.choice([1e-5, 1e-3]))
+        slope = float(rng.choice([0.01, 0.2]))
+        activation = acts[trial % 3]
+        abs_gamma = bool(trial % 2)
+        msg = (f"trial {trial}: shape=({n},{h},{w_},{c}) act={activation} "
+               f"abs_gamma={abs_gamma} eps={eps} slope={slope}")
+
+        def inline(x, w, b):
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.maximum(jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+                              - jnp.square(mean), 0.0)
+            gamma = jnp.abs(w) + eps if abs_gamma else w
+            hh = (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + b
+            return _apply_activation(hh, activation, slope)
+
+        z1, _, _ = abn_train(x, wt, b, eps, activation, slope, abs_gamma, None)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(inline(x, wt, b)),
+                                   rtol=1e-4, atol=1e-4, err_msg=msg)
+        g1 = jax.grad(lambda x, w, b: jnp.sum(
+            abn_train(x, w, b, eps, activation, slope, abs_gamma, None)[0] * dz),
+            argnums=(0, 1, 2))(x, wt, b)
+        g2 = jax.grad(lambda x, w, b: jnp.sum(inline(x, w, b) * dz),
+                      argnums=(0, 1, 2))(x, wt, b)
+        for i, (a, c_) in enumerate(zip(g1, g2)):
+            ref = np.asarray(c_)
+            tol = 1e-3 * max(1.0, float(np.abs(ref).max()))
+            np.testing.assert_allclose(np.asarray(a), ref, rtol=2e-3,
+                                       atol=tol, err_msg=f"{msg} arg{i}")

@@ -120,6 +120,37 @@ def test_pallas_ce_dsn_dual_matches_reference():
                                    rtol=1e-4, atol=1e-6, err_msg=f"head {i}")
 
 
+def test_pallas_ce_randomized_sweep():
+    """Randomized shape/class/ignore sweep of the kernel vs the XLA oracle.
+
+    Covers what the fixed-shape cases cannot: arbitrary in/out aspect ratios
+    (both up- and non-integer scale factors), class counts off the lane
+    boundary, ignore fractions from 0 to ~1, and both block-divisor branches
+    of the kernel (class-batched matmul vs per-class width loop)."""
+    rng = np.random.RandomState(42)
+    for trial in range(6):
+        b = int(rng.randint(1, 3))
+        hin = (int(rng.randint(4, 14)), int(rng.randint(4, 14)))
+        hout = (int(rng.randint(16, 49)), int(rng.randint(16, 49)))
+        c = int(rng.randint(2, 22))
+        logits = jnp.asarray(rng.randn(b, *hin, c).astype(np.float32))
+        labels = rng.randint(0, c, (b, *hout))
+        # ignore fraction 0, ~30%, or ~95% depending on trial
+        frac = [0.0, 0.3, 0.95][trial % 3]
+        mask = rng.rand(*labels.shape) < frac
+        labels[mask] = 255
+        labels = jnp.asarray(labels)
+        msg = f"trial {trial}: b={b} in={hin} out={hout} c={c} frac={frac}"
+        ours = upsampled_ce_loss(logits, labels, hout, 255)
+        ref = _ref_loss(logits, labels, hout)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4,
+                                   err_msg=msg)
+        g_ours = jax.grad(lambda l: upsampled_ce_loss(l, labels, hout, 255))(logits)
+        g_ref = jax.grad(lambda l: _ref_loss(l, labels, hout))(logits)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-5, err_msg=msg)
+
+
 def test_criterion_dsn_fused_uses_dual_pass():
     from structure_knowledge_distillation_tpu.losses.task import (
         criterion_dsn, criterion_dsn_fused,
