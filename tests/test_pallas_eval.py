@@ -76,3 +76,37 @@ def test_fast_val_fn_uses_oracle_path_off_tpu():
     pred, conf = fn(variables, x, label, jnp.int32(64), jnp.int32(64))
     assert pred.shape == (64, 64) and conf.shape == (6, 6)
     assert int(conf.sum()) == 64 * 64
+
+
+def test_upsampled_argmax_randomized_sweep():
+    """Random shape/class sweep vs the oracle, including quantized logits
+    (coarse value grid => many exact ties after interpolation) to stress the
+    first-index tie-break at arbitrary block splits."""
+    rng = np.random.RandomState(11)
+    for trial in range(6):
+        b = int(rng.randint(1, 3))
+        hin = (int(rng.randint(4, 16)), int(rng.randint(4, 16)))
+        # kernel row blocks need h_out % 8 == 0 (production outputs are
+        # full-res; argmax_kernel_fits gates everything else)
+        hout = (8 * int(rng.randint(2, 10)), int(rng.randint(16, 72)))
+        c = int(rng.randint(2, 24))
+        vals = rng.randn(b, *hin, c).astype(np.float32)
+        if trial % 2:  # quantize to force exact ties post-interpolation
+            vals = np.round(vals * 2.0) / 2.0
+        logits = jnp.asarray(vals)
+        ours = np.asarray(upsampled_argmax(logits, hout))
+        ref = np.asarray(_oracle(logits, hout))
+        msg = (f"trial {trial}: b={b} in={hin} out={hout} c={c} "
+               f"quant={bool(trial % 2)}")
+        diff = ours != ref
+        assert diff.mean() < 5e-3, f"{msg} mismatch={diff.mean()}"
+        if diff.any():
+            # every disagreement must be a genuine value tie between the two
+            # chosen classes (float association order differs between the
+            # kernel's matmul path and the oracle's resize) — never a wrong
+            # class winning by a real margin
+            up = np.asarray(resize_bilinear_align_corners(
+                logits.astype(jnp.float32), hout))
+            ii = np.nonzero(diff)
+            gap = np.abs(up[(*ii, ours[diff])] - up[(*ii, ref[diff])])
+            assert gap.max() < 1e-5, f"{msg} max tie gap {gap.max()}"

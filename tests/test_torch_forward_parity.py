@@ -207,3 +207,57 @@ def test_discriminator_forward_matches_torch_oracle():
     np.testing.assert_allclose(
         np.asarray(ours), theirs.detach().numpy().transpose(0, 2, 3, 1),
         rtol=1e-3, atol=1e-4)
+
+
+def test_snconv_power_iteration_trajectory_matches_torch():
+    """Multi-step spectral-norm trajectory: K=4 consecutive SNConv forwards
+    (update_stats=True) vs a literal torch loop of the reference wrapper
+    (networks/spectral.py:23-35) — u, v, sigma, and conv output at EVERY
+    step, over random conv geometries. One-step parity is covered inside the
+    D oracle; this pins the persistent-state recurrence u_{k+1} = f(w, u_k)
+    at the op level."""
+    from structure_knowledge_distillation_tpu.ops.spectral import SNConv
+
+    rng = np.random.RandomState(21)
+    for trial in range(4):
+        cin = int(rng.randint(1, 8))
+        cout = int(rng.randint(1, 10))
+        k = int(rng.choice([1, 3, 4]))
+        stride = int(rng.choice([1, 2]))
+        hw = int(rng.randint(k + 1, 12))
+        mod = SNConv(features=cout, kernel_size=(k, k), strides=(stride, stride),
+                     padding=(k // 2, k // 2))
+        x0 = jnp.asarray(rng.randn(2, hw, hw, cin).astype(np.float32))
+        variables = mod.init(jax.random.PRNGKey(trial), x0, update_stats=False)
+        params, spectral = variables["params"], variables["spectral"]
+        # randomize u to a non-normalized-from-init state
+        u = rng.randn(cout).astype(np.float32)
+        u /= np.linalg.norm(u) + 1e-12
+        spectral = {"u": jnp.asarray(u), "v": spectral["v"]}
+
+        w_hwio = np.asarray(params["weight"], np.float32)
+        tw = torch.from_numpy(w_hwio.transpose(3, 2, 0, 1)).clone()  # OIHW
+        tb = torch.from_numpy(np.asarray(params["bias"], np.float32)).clone()
+        tu = torch.from_numpy(u).clone()
+
+        for step in range(4):
+            x = jnp.asarray(rng.randn(2, hw, hw, cin).astype(np.float32))
+            y, mut = mod.apply({"params": params, "spectral": spectral}, x,
+                               update_stats=True, mutable=["spectral"])
+            spectral = mut["spectral"]
+
+            wm = tw.reshape(cout, -1)
+            tv = _l2n(torch.mv(wm.t(), tu))
+            tu = _l2n(torch.mv(wm, tv))
+            sigma = tu.dot(wm.mv(tv))
+            ty = F.conv2d(torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2)),
+                          tw / sigma, tb, stride=stride, padding=k // 2)
+            msg = (f"trial {trial} step {step}: cin={cin} cout={cout} k={k} "
+                   f"stride={stride}")
+            np.testing.assert_allclose(np.asarray(spectral["u"]), tu.numpy(),
+                                       rtol=1e-4, atol=1e-5, err_msg=msg)
+            np.testing.assert_allclose(np.asarray(spectral["v"]), tv.numpy(),
+                                       rtol=1e-4, atol=1e-5, err_msg=msg)
+            np.testing.assert_allclose(
+                np.asarray(y), ty.detach().numpy().transpose(0, 2, 3, 1),
+                rtol=1e-4, atol=1e-5, err_msg=msg)
