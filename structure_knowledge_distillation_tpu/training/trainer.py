@@ -492,6 +492,9 @@ class KDTrainer:
             os.makedirs(best_dir, exist_ok=True)
             ckpt.save_state(os.path.join(best_dir, "model_best"), self.state,
                             step=step, mean_iu=mean_iu, state_step=state_step)
-        # async step-indexed checkpoint for auto-resume (try_resume)
-        ckpt.save_state_async(self._orbax_dir, self.state, step=step)
+        # async step-indexed checkpoint for auto-resume (try_resume); labeled
+        # with the TRUE state step (under the device loop the state is up to
+        # unroll-1 steps past the cadence hit) so resume never re-feeds
+        # already-consumed steps
+        ckpt.save_state_async(self._orbax_dir, self.state, step=state_step)
         return path
