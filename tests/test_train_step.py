@@ -497,6 +497,49 @@ def test_trainer_preemption_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_midchunk_eval_checkpoint_labels(tmp_path):
+    """Under the device loop a cadence eval can land mid-chunk: the snapshot
+    keeps the reference CS_scenes_{cadence} name but records the true
+    state_step, and the async auto-resume checkpoint is labeled with the
+    TRUE state step — so try_resume never re-feeds already-consumed steps."""
+    import json
+    import os
+
+    from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
+    from structure_knowledge_distillation_tpu.data import batch_iterator
+    from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(128, 128), num_steps=4,
+        teacher_layers=(1, 1, 1, 1), ho=False, pi=False, pa=False,
+        compute_dtype="float32", unroll_steps=2,
+        snapshot_dir=str(tmp_path / "snap"), log_path="", log_every=10,
+        eval_every=3,  # hits step 3, inside the chunk [3,4] -> state at 4
+    )
+    trainer = KDTrainer(cfg)
+    train_ds = SyntheticSegDataset(length=8, crop_size=(128, 128))
+    val_ds = SyntheticSegDataset(length=1, crop_size=(128, 128), seed=9)
+    trainer.fit(
+        batch_iterator(train_ds, 2, shuffle=False),
+        lambda: batch_iterator(val_ds, 1, shuffle=False, drop_last=False),
+        eval_out_size=(128, 128),
+    )
+    ckpt.wait_for_saves()
+    snap_jsons = [f for f in os.listdir(cfg.snapshot_dir)
+                  if f.startswith("CS_scenes_") and f.endswith(".json")]
+    assert len(snap_jsons) == 1 and snap_jsons[0].startswith("CS_scenes_3_")
+    meta = json.load(open(os.path.join(cfg.snapshot_dir, snap_jsons[0])))
+    assert int(meta["step"]) == 3 and int(meta["state_step"]) == 4, meta
+    orbax_steps = sorted(d for d in os.listdir(trainer._orbax_dir)
+                         if d.isdigit())
+    assert orbax_steps == ["4"], orbax_steps
+
+    trainer2 = KDTrainer(cfg)  # fresh process stand-in
+    assert trainer2.try_resume() == 4
+    assert int(trainer2.state.step) == 4
+
+
 def test_repeated_evals_get_fresh_loader(tmp_path):
     """fit() with a val-loader factory evaluates correctly more than once."""
     from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
