@@ -78,8 +78,8 @@ def main(argv=None):
     p.add_argument("--num-data-shards", default=1, type=int,
                    help=">1: shard the val sweep over a data mesh "
                         "(one image per device per dispatch, confusion "
-                        "all-reduced on device; whole-image single-scale "
-                        "path only)")
+                        "all-reduced on device; whole-image modes incl. "
+                        "multiscale+flip)")
     p.add_argument("--num-spatial-shards", default=1, type=int,
                    help=">1: shard each image's HEIGHT across devices (XLA "
                         "halo exchange) — exact whole-image inference whose "
@@ -119,8 +119,7 @@ def main(argv=None):
             model, variables, loader, num_classes, out_size=(out_h, out_w),
             mesh=mesh,
         )
-    elif (args.num_data_shards > 1 and args.whole and scales == (1.0,)
-            and not args.flip and not args.output_dir):
+    elif (args.num_data_shards > 1 and args.whole and not args.output_dir):
         from structure_knowledge_distillation_tpu.parallel import (
             batch_sharding,
             make_mesh,
@@ -133,6 +132,7 @@ def main(argv=None):
         mean_iu, iu_array = evaluate_sharded(
             model, variables, loader, num_classes, out_size=(out_h, out_w),
             batch=args.num_data_shards, sharding=batch_sharding(mesh),
+            scales=scales, flip=args.flip,
         )
     else:
         mean_iu, iu_array = evaluate_main(

@@ -31,6 +31,7 @@ __all__ = [
     "confusion_matrix",
     "iu_from_confusion",
     "make_predictor",
+    "make_msf_val_batch_fn",
     "predict_sliding",
     "predict_multiscale",
     "evaluate_main",
@@ -206,6 +207,60 @@ def make_fast_val_batch_fn(model, out_size: Tuple[int, int], num_classes: int,
     return run
 
 
+def make_msf_val_batch_fn(model, out_size: Tuple[int, int], num_classes: int,
+                          scales: Tuple[float, ...], flip: bool,
+                          ignore_label: int = 255, input_mean=None) -> Callable:
+    """Batched multiscale+flip eval: the fused msf program of
+    `make_msf_val_fn` over a WHOLE group of images per dispatch. With the
+    batch sharded on the mesh's data axis each device runs every scale for
+    its own images, so the expensive published-eval mode (3 scales + flip =
+    6 forwards/image) divides by the data-parallel degree."""
+    scales = tuple(scales)
+
+    @jax.jit
+    def run(variables, images: jnp.ndarray, labels: jnp.ndarray,
+            hs: jnp.ndarray, ws: jnp.ndarray):
+        x = _dequantize_wire(images, input_mean).astype(jnp.float32)
+        ih, iw = x.shape[1], x.shape[2]
+
+        def fwd(xin):
+            preds = model.apply(variables, xin, train=False)
+            logits = preds[0] if isinstance(preds, (tuple, list)) else preds
+            return resize_bilinear_align_corners(
+                logits.astype(jnp.float32), out_size)
+
+        total = None
+        for s in scales:
+            if s == 1.0:
+                xs = x
+            else:
+                xs = resize_bilinear_align_corners(
+                    x, (int(round(ih * s)), int(round(iw * s))))
+            up = fwd(xs)
+            if flip:
+                upf = fwd(xs[:, :, ::-1, :])
+                up = 0.5 * (up + upf[:, :, ::-1, :])
+            total = up if total is None else total + up
+        pred = jnp.argmax(total, axis=-1).astype(jnp.uint8)  # (B, OH, OW)
+        in_bounds = (
+            (jnp.arange(out_size[0])[None, :, None] < hs[:, None, None])
+            & (jnp.arange(out_size[1])[None, None, :] < ws[:, None, None])
+        )
+        labels = jnp.where(in_bounds, labels, ignore_label)
+        conf = confusion_matrix(pred, labels, num_classes, ignore_label)
+        return pred, conf
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_msf_batch_fn(model, out_size, num_classes, scales, flip,
+                         ignore_label, mean_tuple):
+    mean = np.asarray(mean_tuple, np.float32) if mean_tuple is not None else None
+    return make_msf_val_batch_fn(model, out_size, num_classes, scales, flip,
+                                 ignore_label, input_mean=mean)
+
+
 def evaluate_sharded(
     model,
     variables,
@@ -216,14 +271,23 @@ def evaluate_sharded(
     sharding=None,
     ignore_label: int = 255,
     input_mean=None,
+    scales: Tuple[float, ...] = (1.0,),
+    flip: bool = False,
 ):
-    """Data-parallel whole-image val sweep (fast path only: one scale, no
-    flip, no PNGs — exactly the in-training eval). Groups `batch` images per
+    """Data-parallel whole-image val sweep (no PNGs). Default = the fast
+    in-training path (one scale, no flip); `scales`/`flip` switch each group
+    dispatch to the fused multiscale+flip program. Groups `batch` images per
     dispatch; the tail group is padded with masked slots. Returns
     (mean_IU, IU_array) like `evaluate_main`. `input_mean` enables the u8
     image wire (see make_fast_val_fn)."""
-    fn = _cached_eval_fn(make_fast_val_batch_fn, model, tuple(out_size),
-                         num_classes, ignore_label, _mean_key(input_mean))
+    scales = tuple(scales)
+    if scales == (1.0,) and not flip:
+        fn = _cached_eval_fn(make_fast_val_batch_fn, model, tuple(out_size),
+                             num_classes, ignore_label, _mean_key(input_mean))
+    else:
+        fn = _cached_msf_batch_fn(model, tuple(out_size), num_classes, scales,
+                                  bool(flip), ignore_label,
+                                  _mean_key(input_mean))
     conf = np.zeros((num_classes, num_classes), np.float64)
     conf_dev_acc = None
     buf = []

@@ -496,6 +496,52 @@ def test_evaluate_sharded_matches_unsharded():
     np.testing.assert_allclose(arr, ref_arr, rtol=1e-6)
 
 
+def test_evaluate_sharded_msf_matches_unsharded():
+    """evaluate_sharded with scales/flip (batched fused msf program, data
+    mesh, device all-reduced confusion) must reproduce evaluate_main's
+    batch-1 device msf path."""
+    import jax
+    from flax import linen as nn
+
+    from structure_knowledge_distillation_tpu.ops import ABN
+    from structure_knowledge_distillation_tpu.parallel import (
+        batch_sharding, make_mesh,
+    )
+    from structure_knowledge_distillation_tpu.training.evaluate import (
+        evaluate_main, evaluate_sharded,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (4, 4), strides=(4, 4))(x)
+            h = ABN(activation="leaky_relu")(h, not train)
+            return (nn.Conv(5, (1, 1))(h), h)
+
+    model = Tiny()
+    rng = np.random.default_rng(17)
+    items = []
+    for i in range(5):  # one full group of 4 + padded tail of 1
+        img = rng.normal(0, 50, (1, 64, 64, 3)).astype(np.float32)
+        lab = rng.integers(0, 5, (1, 64, 64)).astype(np.int32)
+        lab[0, :2] = 255
+        items.append((img, lab, np.array([[60 - i, 64 - i, 3]]), [f"m{i}"]))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(items[0][0]),
+                           train=False)
+
+    scales, flip = (0.5, 1.0), True
+    ref_iu, ref_arr = evaluate_main(model, variables, items, 5,
+                                    out_size=(64, 64), eval_type="val",
+                                    scales=scales, flip=flip)
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    iu, arr = evaluate_sharded(model, variables, items, 5, out_size=(64, 64),
+                               batch=4, sharding=batch_sharding(mesh),
+                               scales=scales, flip=flip)
+    np.testing.assert_allclose(iu, ref_iu, rtol=1e-6)
+    np.testing.assert_allclose(arr, ref_arr, rtol=1e-6)
+
+
 def test_narrow_wire_format_is_lossless():
     """cast_batches' bf16-image / uint8-label wire format must be exactly
     equivalent on device: the bf16 model casts f32 inputs to bf16 as its
