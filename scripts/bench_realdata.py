@@ -107,8 +107,12 @@ def main():
     def fence(metrics_k):
         return float(np.asarray(metrics_k["g_loss"][-1]))
 
+    if a.steps < a.unroll:
+        raise SystemExit(f"--steps {a.steps} must be >= --unroll {a.unroll} "
+                         "(otherwise zero timed chunks)")
     # warmup: compile + first decode pass through the cache
     t0 = time.perf_counter()
+    t_start = t0  # --warmup-chunks 0: time from the first dispatch
     n_chunks = 0
     last = None
     for chunk in train_iter:

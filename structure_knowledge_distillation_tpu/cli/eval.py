@@ -135,6 +135,15 @@ def main(argv=None):
             scales=scales, flip=args.flip,
         )
     else:
+        if args.num_spatial_shards > 1 or args.num_data_shards > 1:
+            # don't let the user believe the sweep was sharded
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "shard flags ignored: spatial sharding supports only the "
+                "whole-image single-scale sweep and data sharding only "
+                "whole-image modes, both without --output-dir; running "
+                "single-device")
         mean_iu, iu_array = evaluate_main(
             model, variables, loader, num_classes, out_size=(out_h, out_w),
             eval_type="val", output_dir=args.output_dir or None,

@@ -50,12 +50,9 @@ def build_datasets(cfg: TrainConfig):
         )
         return train, val
     if cfg.data_set == "camvid":
-        from structure_knowledge_distillation_tpu.data import (
-            CAMVID_MEAN,
-            CamVidDataset,
-        )
-
-        cfg.input_mean_bgr = tuple(float(m) for m in CAMVID_MEAN)
+        # cfg.input_mean_bgr already holds the CamVid mean
+        # (TrainConfig.__post_init__ derives it from data_set)
+        from structure_knowledge_distillation_tpu.data import CamVidDataset
         train = CamVidDataset(
             cfg.data_dir, cfg.data_list, max_iters=cfg.num_steps * cfg.batch_size,
             crop_size=cfg.input_size, scale=cfg.random_scale,

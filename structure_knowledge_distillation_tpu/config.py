@@ -102,7 +102,8 @@ class TrainConfig:
     # padded crops, pad pixels round by <0.5/255); f32 = no narrowing
     wire_format: str = "auto"
     # BGR mean used to re-quantize/de-quantize u8-wire images on device
-    # (cityscapes/voc value; cli.train swaps in the camvid mean)
+    # (cityscapes/voc value; __post_init__ swaps in the dataset-specific
+    # mean so direct KDTrainer use — not just cli.train — gets it right)
     input_mean_bgr: Tuple[float, float, float] = (104.00698793, 116.66876762,
                                                   122.67891434)
     num_data_shards: int = 1  # data-parallel mesh size (per slice)
@@ -118,6 +119,16 @@ class TrainConfig:
     profile_steps: int = 5
     eval_every: int = 0  # 0 => reference schedule (last 1000 steps, every 2975/batch)
     best_mean_IU: float = 0.0
+
+    # per-dataset BGR means (CamVid value == data.camvid.CAMVID_MEAN; a test
+    # asserts the two stay in sync — config cannot import data without a cycle)
+    _DATASET_MEAN_BGR = {"camvid": (105.39, 108.85, 110.44)}
+
+    def __post_init__(self):
+        default = type(self).__dataclass_fields__["input_mean_bgr"].default
+        if (tuple(self.input_mean_bgr) == tuple(default)
+                and self.data_set in self._DATASET_MEAN_BGR):
+            self.input_mean_bgr = self._DATASET_MEAN_BGR[self.data_set]
 
     @property
     def eval_save_steps(self) -> int:

@@ -28,10 +28,33 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _is_stale() -> bool:
+    src = os.path.join(_NATIVE_DIR, "augment.cpp")
+    return (os.path.exists(_LIB_PATH) and os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+
+
 def _build() -> bool:
+    """Run make under a cross-PROCESS file lock.
+
+    Spawned loader workers all hit get_native_lib on their first sample; a
+    stale/missing .so would otherwise launch N concurrent `make`s rewriting
+    the same output while siblings dlopen it. The flock serializes builders
+    across processes (the threading lock in get_native_lib only covers this
+    process); the post-acquire freshness re-check makes every waiter a
+    no-op once the first builder finishes. The Makefile writes via a temp
+    file + atomic rename, so processes holding the OLD library mapped keep
+    a consistent (old-inode) image."""
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
+        import fcntl
+
+        os.makedirs(_NATIVE_DIR, exist_ok=True)
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if os.path.exists(_LIB_PATH) and not _is_stale():
+                return True  # another process already built it
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
         return os.path.exists(_LIB_PATH)
     except Exception as e:  # pragma: no cover
         log.warning("native build failed (%s); using numpy fallback", e)
@@ -44,9 +67,7 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        src = os.path.join(_NATIVE_DIR, "augment.cpp")
-        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        stale = _is_stale()
         if (not os.path.exists(_LIB_PATH) or stale) and not _build():
             if stale:  # keep running with the older .so rather than dying
                 log.warning("native rebuild failed; using the stale library")

@@ -16,7 +16,21 @@ import jax
 import numpy as np
 
 __all__ = ["device_prefetch", "Chunk", "chunk_batches", "cast_batches",
-           "put_global"]
+           "put_global", "quantize_u8"]
+
+
+def quantize_u8(images, mean) -> np.ndarray:
+    """Re-quantize mean-subtracted f32 images to their original bytes.
+
+    One fused add + truncating cast: (x + mean + 0.5) floors to
+    round-half-up; values are in [0,255] by construction (integer−mean
+    pixels round-trip exactly; pad pixels — value 0.0 == "exactly mean",
+    which no byte represents — round by < 0.5/255). rint+clip would cost
+    ~4 numpy passes per frame on a 1-core host, eating the transfer saving.
+    The ONE quantizer for both the train wire (cast_batches) and the eval
+    wire (training.evaluate), so the rounding convention cannot diverge."""
+    mean05 = np.asarray(mean, np.float32) + np.float32(0.5)
+    return (np.asarray(images) + mean05).astype(np.uint8)
 
 
 def put_global(x, sharding):
@@ -58,17 +72,13 @@ def cast_batches(iterator: Iterator, image_dtype=None, label_dtype=None,
     2× off the wire. Only pad pixels (value 0.0 == "exactly mean", which no
     byte represents) round, by < 0.5/255 — and flagship 512² Cityscapes
     crops never pad (min scale 0.7 of 1024-high frames)."""
-    mean05 = (np.asarray(image_mean, np.float32) + np.float32(0.5)
-              if image_mean is not None else None)
     for b in iterator:
         images, labels, *rest = b
         if image_dtype is not None:
-            images = np.asarray(images)
-            if mean05 is not None and np.dtype(image_dtype) == np.uint8:
-                # one fused add + truncating cast (round-half-up; values are
-                # in [0,255] by construction) — rint+clip is ~4 numpy passes
-                images = images + mean05
-            images = images.astype(image_dtype)
+            if image_mean is not None and np.dtype(image_dtype) == np.uint8:
+                images = quantize_u8(images, image_mean)
+            else:
+                images = np.asarray(images).astype(image_dtype)
         if label_dtype is not None:
             labels = np.asarray(labels).astype(label_dtype)
         yield (images, labels, *rest)

@@ -61,6 +61,11 @@ def save_state_async(directory: str, state, step: int, keep: int = 3) -> None:
                                                enable_async_checkpointing=True)
         _async_mgr = ocp.CheckpointManager(directory, options=options)
         _async_mgr_dir = directory
+    if step in _async_mgr.all_steps():
+        # idempotent per step: a preemption save landing in the same chunk as
+        # an eval-cadence save would otherwise raise StepAlreadyExistsError
+        # (the state at a given step is identical — nothing to add)
+        return
     _async_mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
 
 

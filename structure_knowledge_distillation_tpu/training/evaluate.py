@@ -114,12 +114,10 @@ def _fast_val_fn_xla(model, out_size, num_classes, ignore_label, input_mean=None
 def _quantize_wire(image: np.ndarray, mean) -> np.ndarray:
     """Host side of the u8 eval wire: integer−mean pixels (every unscaled,
     unpadded val frame) round-trip exactly through (x + mean) → uint8.
+    Shares the one quantizer with the train wire (data.prefetch)."""
+    from structure_knowledge_distillation_tpu.data.prefetch import quantize_u8
 
-    One fused add + truncating cast (x + mean + 0.5 floors to round-half-up;
-    values are in [0,255] by construction) — rint+clip cost ~4 numpy passes
-    over a 24 MB frame on the 1-core host, which ate the transfer saving."""
-    mean05 = np.asarray(mean, np.float32) + np.float32(0.5)
-    return (np.asarray(image) + mean05).astype(np.uint8)
+    return quantize_u8(image, mean)
 
 
 def _dequantize_wire(image: jnp.ndarray, mean) -> jnp.ndarray:
@@ -391,40 +389,18 @@ def make_msf_val_fn(model, out_size: Tuple[int, int], num_classes: int,
     average, the cross-scale sum, the argmax, and the confusion matrix run
     on device — only the uint8 prediction (2 MB) and the (C,C) counts come
     back. Scale factors are static, so the whole sweep is one jit.
-    """
-    scales = tuple(scales)
 
-    @jax.jit
+    Implemented as the batched msf program at B=1 (one copy of the
+    parity-sensitive scale-sizing math, reference evaluate.py:127).
+    """
+    batch_run = make_msf_val_batch_fn(model, out_size, num_classes, scales,
+                                      flip, ignore_label, input_mean)
+
     def run(variables, image: jnp.ndarray, label: jnp.ndarray,
             h: jnp.ndarray, w: jnp.ndarray):
-        x = _dequantize_wire(image, input_mean).astype(jnp.float32)
-        ih, iw = x.shape[1], x.shape[2]
-
-        def fwd(xin):
-            preds = model.apply(variables, xin, train=False)
-            logits = preds[0] if isinstance(preds, (tuple, list)) else preds
-            return resize_bilinear_align_corners(
-                logits.astype(jnp.float32), out_size)
-
-        total = None
-        for s in scales:
-            if s == 1.0:
-                xs = x
-            else:
-                # scipy zoom sizing: round(in·s) (reference evaluate.py:127)
-                xs = resize_bilinear_align_corners(
-                    x, (int(round(ih * s)), int(round(iw * s))))
-            up = fwd(xs)
-            if flip:
-                upf = fwd(xs[:, :, ::-1, :])
-                up = 0.5 * (up + upf[:, :, ::-1, :])
-            total = up if total is None else total + up
-        pred = jnp.argmax(total[0], axis=-1).astype(jnp.uint8)
-        in_bounds = (jnp.arange(out_size[0])[:, None] < h) & (
-            jnp.arange(out_size[1])[None, :] < w)
-        label = jnp.where(in_bounds, label, ignore_label)
-        conf = confusion_matrix(pred, label, num_classes, ignore_label)
-        return pred, conf
+        pred, conf = batch_run(variables, image, label[None],
+                               jnp.reshape(h, (1,)), jnp.reshape(w, (1,)))
+        return pred[0], conf
 
     return run
 

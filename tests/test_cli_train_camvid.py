@@ -67,3 +67,24 @@ def test_cli_train_camvid_survives_eval(tmp_path):
     assert os.path.isfile(os.path.join(list_dir, "val.lst"))
     # the in-training eval ran at the CamVid-native size and checkpointed
     assert list((tmp_path / "snap").glob("CS_scenes_2_*.msgpack"))
+
+
+def test_camvid_mean_derived_in_config():
+    """TrainConfig derives the dataset BGR mean from data_set so DIRECT
+    KDTrainer/evaluate use (not just cli.train) quantizes the u8 wire with
+    the right mean; the config-local constant must stay in sync with
+    data.camvid.CAMVID_MEAN (config cannot import data without a cycle)."""
+    from structure_knowledge_distillation_tpu.config import TrainConfig
+    from structure_knowledge_distillation_tpu.data.camvid import CAMVID_MEAN
+
+    import numpy as np
+
+    cfg = TrainConfig(data_set="camvid")
+    # config stores exact decimals, CAMVID_MEAN is f32 — equal within 1 ulp
+    np.testing.assert_allclose(cfg.input_mean_bgr, CAMVID_MEAN, rtol=1e-6)
+    # an explicit override wins over the derivation
+    cfg2 = TrainConfig(data_set="camvid", input_mean_bgr=(1.0, 2.0, 3.0))
+    assert tuple(cfg2.input_mean_bgr) == (1.0, 2.0, 3.0)
+    # other datasets keep the cityscapes/voc default
+    assert TrainConfig().input_mean_bgr[0] == 104.00698793
+    assert TrainConfig(data_set="voc").input_mean_bgr[0] == 104.00698793

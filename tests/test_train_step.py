@@ -497,6 +497,46 @@ def test_trainer_preemption_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_preemption_same_step_as_eval_save(tmp_path):
+    """SIGTERM landing in the same chunk as an eval-cadence save: both
+    saves target the same orbax step — the second must be an idempotent
+    no-op (orbax raises StepAlreadyExistsError otherwise) so preemption
+    still exits cleanly and the run resumes."""
+    import os
+    import signal
+
+    from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
+    from structure_knowledge_distillation_tpu.data import batch_iterator
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(128, 128), num_steps=6,
+        teacher_layers=(1, 1, 1, 1), ho=False, pi=False, pa=False,
+        compute_dtype="float32",
+        snapshot_dir=str(tmp_path / "snap"), log_path="", log_every=10,
+        eval_every=2, seed=3,
+    )
+    trainer = KDTrainer(cfg)
+    train_ds = SyntheticSegDataset(length=12, crop_size=(128, 128))
+    val_ds = SyntheticSegDataset(length=1, crop_size=(128, 128), seed=9)
+
+    def sigterm_iter():
+        for i, b in enumerate(batch_iterator(train_ds, 2, shuffle=False)):
+            if i == 1:  # preempt flag set while step 2 (an eval hit) runs
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    trainer.fit(sigterm_iter(),
+                lambda: batch_iterator(val_ds, 1, shuffle=False,
+                                       drop_last=False),
+                eval_out_size=(128, 128))  # must not raise
+    stopped = int(trainer.state.step)
+    assert stopped == 2, stopped
+
+    trainer2 = KDTrainer(cfg)
+    assert trainer2.try_resume() == 2
+
+
 def test_midchunk_eval_checkpoint_labels(tmp_path):
     """Under the device loop a cadence eval can land mid-chunk: the snapshot
     keeps the reference CS_scenes_{cadence} name but records the true
