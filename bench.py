@@ -133,7 +133,38 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
     }
 
 
+def _wait_for_tpu(max_tries: int = 10, probe_timeout_s: int = 180,
+                  retry_wait_s: int = 150,
+                  probe_code: str = "import jax; jax.devices()") -> None:
+    """Ride out transient relay outages before committing to the run.
+
+    The axon tunnel occasionally refuses (UNAVAILABLE) or hangs backend
+    init; once that happens in-process, jax caches the failed backend, so
+    the probe runs in a SUBPROCESS (with a timeout for the hang case) and
+    this process only imports jax after a probe succeeds. On persistent
+    failure, fall through and let the real run raise its own error.
+    (`probe_code` probes the environment's default platform — the preset
+    sitecustomize imports jax before env vars apply; tests override it.)"""
+    import subprocess
+    import sys
+
+    for attempt in range(max_tries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe_code],
+                check=True, timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return
+        except Exception:
+            if attempt == max_tries - 1:
+                return  # let main() surface the real error
+            print(f"TPU probe failed (attempt {attempt + 1}/{max_tries}); "
+                  f"retrying in {retry_wait_s}s", file=sys.stderr)
+            time.sleep(retry_wait_s)
+
+
 if __name__ == "__main__":
     import sys
 
+    _wait_for_tpu()
     print(json.dumps(main(flat_sgd="--flat-sgd" in sys.argv)))
