@@ -67,3 +67,22 @@ def test_abn_blocks_forward_shapes():
     v = res.init(jax.random.PRNGKey(1), x, train=False)
     y = res.apply(v, x, train=False)
     assert y.shape == x.shape
+
+
+def test_bench_tpu_probe_paths():
+    """bench._wait_for_tpu: the success path returns after one subprocess
+    probe; exhausted retries fall through (return) so the real run surfaces
+    its own error. Probe code is injected — the default probes the
+    environment's default platform, which tests must not touch."""
+    import time
+
+    from bench import _wait_for_tpu
+
+    t0 = time.perf_counter()
+    _wait_for_tpu(max_tries=2, probe_timeout_s=60, retry_wait_s=1,
+                  probe_code="pass")
+    assert time.perf_counter() - t0 < 30
+    t0 = time.perf_counter()
+    _wait_for_tpu(max_tries=2, probe_timeout_s=30, retry_wait_s=1,
+                  probe_code="raise SystemExit(1)")  # must not raise
+    assert time.perf_counter() - t0 < 30
