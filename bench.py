@@ -28,7 +28,7 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
          steps: int = 80, compute_dtype: str = "bfloat16",
          pi: bool = True, pa: bool = True, ho: bool = True,
          teacher_layers=(3, 4, 23, 3), unroll: int = 40,
-         flat_sgd: bool = False) -> dict:
+         flat_sgd: bool = False, remat: bool = False) -> dict:
     import jax
 
     # Persistent compile cache: the full-recipe step takes ~6-7 min to
@@ -54,11 +54,12 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
         classes_num=19, batch_size=batch_size,
         input_size=(image_size, image_size), num_steps=40000,
         pi=pi, pa=pa, ho=ho, adv_loss_type="wgan-gp",
-        imsize_for_adv=65, compute_dtype=compute_dtype,
+        imsize_for_adv=65, compute_dtype=compute_dtype, remat=remat,
     )
     teacher = ResPSPNet(block="bottleneck", layers=tuple(teacher_layers),
                         num_classes=19, dtype=dtype)
-    student = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19, dtype=dtype)
+    student = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19,
+                        dtype=dtype, remat=remat)
     disc = Discriminator(preprocess_mode=1, image_size=65, conv_dim=64, dtype=dtype)
 
     key = jax.random.PRNGKey(0)

@@ -97,6 +97,10 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # bfloat16 | float32 for conv compute
     fused_ce: str = "auto"  # auto (Pallas kernel on TPU) | true | false
     flat_sgd: bool = False  # single-vector SGD update (fewer tiny dispatches)
+    # rematerialize student residual blocks in the backward (jax.checkpoint):
+    # trades one extra student forward for O(depth) less activation memory —
+    # enables larger batches/crops on a fixed HBM budget; numerics unchanged
+    remat: bool = False
     # host→device wire format: auto = bf16 images + uint8 labels under bf16
     # compute; u8 = re-quantized uint8 images (another 2x; exact for never-
     # padded crops, pad pixels round by <0.5/255); f32 = no narrowing
@@ -206,6 +210,7 @@ class TrainConfig:
         p.add_argument("--compute-dtype", default=cls.compute_dtype, type=str)
         p.add_argument("--fused-ce", default=cls.fused_ce, type=str)
         p.add_argument("--flat-sgd", default=cls.flat_sgd, type=str2bool)
+        p.add_argument("--remat", default=cls.remat, type=str2bool)
         p.add_argument("--wire-format", default=cls.wire_format, type=str,
                        choices=("auto", "u8", "f32"))
         p.add_argument("--num-data-shards", default=1, type=int)

@@ -324,6 +324,15 @@ class ResPSPNet(nn.Module):
     dense_psp_bottleneck: bool = False  # concat+conv PSP path (parity escape)
     stem_patches_conv1: bool = False  # im2col stem conv1 (measured slower)
     drop_rate: float = 0.1  # PSP/DSN Dropout2d rate; 0.0 disables (oracles)
+    # Rematerialize each residual block on the backward pass (jax.checkpoint
+    # per block): activation memory drops from O(depth) intermediates to one
+    # saved tensor per block, at the cost of one extra forward inside the
+    # backward — the TPU lever for larger batches/crops on a fixed HBM
+    # budget. Values/grads are identical (the recompute replays the same
+    # XLA ops). The reference's counterpart memory trick is the in-place
+    # ABN (libs/functions.py:214-221), which XLA buffer reuse already
+    # subsumes; remat is the lever beyond it.
+    remat: bool = False
 
     @property
     def _block_cls(self):
@@ -356,6 +365,10 @@ class ResPSPNet(nn.Module):
 
         inplanes = 128
         feats = []
+        # static_argnums=(2,): (self, x, train) — `train` selects BN mode via
+        # Python control flow, so it must stay concrete under jax.checkpoint.
+        block_cls = (nn.remat(self._block_cls, static_argnums=(2,))
+                     if self.remat else self._block_cls)
         plan = [
             # (planes, stride, dilation)
             (64, 1, 1),
@@ -366,7 +379,7 @@ class ResPSPNet(nn.Module):
         for li, ((planes, stride, dilation), blocks) in enumerate(zip(plan, self.layers), start=1):
             for bi in range(blocks):
                 has_down = bi == 0 and (stride != 1 or inplanes != planes * self._expansion)
-                x = self._block_cls(
+                x = block_cls(
                     planes=planes,
                     stride=stride if bi == 0 else 1,
                     dilation=dilation,

@@ -65,7 +65,8 @@ class KDTrainer:
             self.student = ESPNetC(num_classes=cfg.classes_num, dtype=dtype)
         else:
             self.student = ResPSPNet(block="basic", layers=(2, 2, 2, 2),
-                                     num_classes=cfg.classes_num, dtype=dtype)
+                                     num_classes=cfg.classes_num, dtype=dtype,
+                                     remat=bool(getattr(cfg, "remat", False)))
         self.discriminator = Discriminator(
             preprocess_mode=cfg.preprocess_gan_mode,
             image_size=cfg.imsize_for_adv,
