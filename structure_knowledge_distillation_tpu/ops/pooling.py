@@ -48,6 +48,15 @@ def max_pool_2d(
 
     Padding is with -inf (so padded positions never win), and ceil_mode adds
     the extra high-side padding needed to realize the torch output size.
+
+    Non-overlapping pools (stride == kernel, e.g. the pairwise-distillation
+    pool, reference utils/criterion.py:241-243) take a tiled pad→reshape→max
+    path with a custom first-match VJP instead of reduce_window: XLA's
+    select_and_scatter backward allocates scoped vmem proportional to the
+    window and fails to compile past ~32² windows (observed at 1024² crops,
+    window 64²), while the tiled backward is plain elementwise work at any
+    window size. Gradient ties route to the first element in row-major window
+    order — exactly torch's max_pool2d backward.
     """
     if stride is None:
         stride = kernel
@@ -57,6 +66,8 @@ def max_pool_2d(
     ph, pw = padding
     out_h = _pool_out_size(h, kh, sh, ph, ceil_mode)
     out_w = _pool_out_size(w, kw, sw, pw, ceil_mode)
+    if (sh, sw) == (kh, kw):
+        return _max_pool_tiled(x, (kh, kw), (ph, pw), (out_h, out_w), x.shape)
     hi_h = (out_h - 1) * sh + kh - h - ph
     hi_w = (out_w - 1) * sw + kw - w - pw
     return jax.lax.reduce_window(
@@ -67,6 +78,57 @@ def max_pool_2d(
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), (ph, max(hi_h, 0)), (pw, max(hi_w, 0)), (0, 0)),
     )
+
+
+def _tile_windows(x, kernel, padding, out_hw):
+    """Pad/crop to (oh·kh, ow·kw) and expose each window as a flat axis:
+    (N, oh, ow, kh·kw, C), window elements in row-major order (torch's
+    tie-break order)."""
+    n, h, w, c = x.shape
+    kh, kw = kernel
+    ph, pw = padding
+    oh, ow = out_hw
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    # floor mode can drop an input tail; crop it before padding up
+    x = x[:, : min(h, oh * kh - ph), : min(w, ow * kw - pw), :]
+    pad_h = oh * kh - ph - x.shape[1]
+    pad_w = ow * kw - pw - x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (ph, pad_h), (pw, pad_w), (0, 0)),
+                 constant_values=neg)
+    t = xp.reshape(n, oh, kh, ow, kw, c).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(n, oh, ow, kh * kw, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _max_pool_tiled(x, kernel, padding, out_hw, x_shape):
+    return jnp.max(_tile_windows(x, kernel, padding, out_hw), axis=3)
+
+
+def _max_pool_tiled_fwd(x, kernel, padding, out_hw, x_shape):
+    t = _tile_windows(x, kernel, padding, out_hw)
+    # argmax returns the FIRST maximum — torch's tie-break
+    return jnp.max(t, axis=3), jnp.argmax(t, axis=3)
+
+
+def _max_pool_tiled_bwd(kernel, padding, out_hw, x_shape, idx, dy):
+    n, h, w, c = x_shape
+    kh, kw = kernel
+    ph, pw = padding
+    oh, ow = out_hw
+    taps = jax.nn.one_hot(idx, kh * kw, axis=3, dtype=dy.dtype)
+    dt = taps * dy[:, :, :, None, :]  # (N, oh, ow, kh·kw, C)
+    dxp = dt.reshape(n, oh, ow, kh, kw, c).transpose(0, 1, 3, 2, 4, 5)
+    dxp = dxp.reshape(n, oh * kh, ow * kw, c)
+    dx = dxp[:, ph:ph + h, pw:pw + w, :]
+    # floor mode may have cropped an input tail — pad it back with zeros
+    if dx.shape[1] < h or dx.shape[2] < w:
+        dx = jnp.pad(dx, ((0, 0), (0, h - dx.shape[1]),
+                          (0, w - dx.shape[2]), (0, 0)))
+    return (dx,)
+
+
+_max_pool_tiled.defvjp(_max_pool_tiled_fwd, _max_pool_tiled_bwd)
 
 
 @functools.lru_cache(maxsize=None)

@@ -63,6 +63,39 @@ def test_max_pool_matches_torch(hw, kernel, stride, pad, ceil):
     np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "hw,kernel,stride,pad,ceil",
+    [
+        ((65, 65), (32, 32), (32, 32), (0, 0), True),  # pairwise pool (tiled)
+        ((64, 64), (32, 32), (32, 32), (0, 0), True),  # even tiled case
+        ((17, 23), (3, 3), (3, 3), (1, 1), True),      # tiled with padding
+        ((17, 23), (4, 3), (4, 3), (0, 0), False),     # floor: input tail cropped
+        ((33, 33), (3, 3), (2, 2), (1, 1), True),      # overlapping (reduce_window)
+    ],
+)
+def test_max_pool_grad_matches_torch(hw, kernel, stride, pad, ceil):
+    """Backward parity incl. tie ROUTING: integer-valued inputs make near-every
+    window tie, so this fails unless gradients go to torch's first-max tap
+    (the tiled k==s path's custom VJP and the select_and_scatter path both)."""
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 3, size=(2, *hw, 3)).astype(np.float32)
+    dy_shape = max_pool_2d(jnp.asarray(x), kernel, stride, pad,
+                           ceil_mode=ceil).shape
+    dy = rng.randn(*dy_shape).astype(np.float32)
+
+    def f(xx):
+        y = max_pool_2d(xx, kernel, stride, pad, ceil_mode=ceil)
+        return jnp.sum(y * jnp.asarray(dy))
+
+    ours = jax.grad(f)(jnp.asarray(x))
+
+    xt = nchw(x).requires_grad_(True)
+    yt = F.max_pool2d(xt, kernel, stride, pad, ceil_mode=ceil)
+    yt.backward(torch.from_numpy(np.transpose(dy, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(xt.grad),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("hw,out", [((65, 65), (6, 6)), ((65, 65), (1, 1)),
                                     ((64, 64), (3, 3)), ((129, 257), (2, 5))])
 def test_adaptive_avg_pool_matches_torch(hw, out):
