@@ -13,6 +13,14 @@ verifies forward parity of the folded model on a random input, and writes a
 native inference .msgpack (+ .json metadata). `--torch-output` additionally
 emits a reference-compatible torch state_dict (unfolded — the torch model
 keeps its BN modules; key surgery mirrors utils/utils.py:73-91).
+
+`--stablehlo-output` additionally writes a SELF-CONTAINED serving artifact
+via `jax.export`: one serialized StableHLO program with the weights baked in
+as constants, loadable with `jax.export.deserialize(blob).call(image)` — no
+model code, no checkpoint, no Python class needed at serving time. Two
+modes: `classmap` (raw BGR f32 image in → uint8 trainId map out: on-device
+mean-subtract, forward, align-corners resize, argmax — the evaluate.py fast
+path's semantics) and `logits` (stride-8 score maps out).
 """
 
 from __future__ import annotations
@@ -40,6 +48,22 @@ def main(argv=None):
                    help="also write a torch state_dict .pth (unfolded)")
     p.add_argument("--verify-size", default=128, type=int,
                    help="input side length for the fold parity check")
+    p.add_argument("--stablehlo-output", default="",
+                   help="also write a self-contained jax.export StableHLO "
+                        "serving artifact to this path")
+    p.add_argument("--stablehlo-size", default="1024,2048",
+                   help="serving input H,W (static shapes)")
+    p.add_argument("--stablehlo-batch", default=1, type=int)
+    p.add_argument("--stablehlo-mode", default="classmap",
+                   choices=("classmap", "logits"))
+    p.add_argument("--stablehlo-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="conv compute dtype inside the exported program")
+    p.add_argument("--stablehlo-platforms", default="",
+                   help="comma list (e.g. tpu,cpu); default: current backend")
+    p.add_argument("--input-mean-bgr",
+                   default="104.00698793,116.66876762,122.67891434",
+                   help="mean subtracted on-device in classmap mode")
     args = p.parse_args(argv)
 
     import jax
@@ -100,6 +124,50 @@ def main(argv=None):
         torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
                    args.torch_output)
         log.info("wrote torch state_dict %s", args.torch_output)
+
+    if args.stablehlo_output:
+        from jax import export as jexport
+
+        from structure_knowledge_distillation_tpu.ops.resize import (
+            resize_bilinear_align_corners,
+        )
+
+        h, w = (int(v) for v in args.stablehlo_size.split(","))
+        dtype = jnp.bfloat16 if args.stablehlo_dtype == "bfloat16" else None
+        serve_model = ResPSPNet(
+            block=model.block, layers=tuple(model.layers),
+            num_classes=args.classes_num, dtype=dtype,
+            fold_bn=bool(args.fold_bn))
+        serve_vars = jax.device_get(out_vars)
+        mean = jnp.asarray(
+            [float(v) for v in args.input_mean_bgr.split(",")], jnp.float32)
+
+        def serve(image):
+            """Raw BGR f32 image(s) in; weights are baked-in constants."""
+            logits = serve_model.apply(serve_vars, image - mean,
+                                       train=False)[0].astype(jnp.float32)
+            if args.stablehlo_mode == "logits":
+                return logits
+            logits = resize_bilinear_align_corners(logits, (h, w))
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        platforms = ([s for s in args.stablehlo_platforms.split(",") if s]
+                     or None)
+        spec = jax.ShapeDtypeStruct((args.stablehlo_batch, h, w, 3),
+                                    jnp.float32)
+        exported = jexport.export(jax.jit(serve), platforms=platforms)(spec)
+        blob = exported.serialize()
+        with open(args.stablehlo_output, "wb") as f:
+            f.write(blob)
+        meta["stablehlo"] = {
+            "path": args.stablehlo_output, "mode": args.stablehlo_mode,
+            "input": list(spec.shape), "platforms": list(exported.platforms),
+            "bytes": len(blob),
+        }
+        with open(args.output + ".json", "w") as f:
+            json.dump(meta, f)
+        log.info("wrote StableHLO serving artifact %s (%d bytes, %s)",
+                 args.stablehlo_output, len(blob), exported.platforms)
     return args.output + ".msgpack"
 
 
