@@ -62,6 +62,9 @@ class KDTrainer:
         if getattr(cfg, "student_arch", "resnet18") == "espnet":
             from structure_knowledge_distillation_tpu.models import ESPNetC
 
+            if getattr(cfg, "remat", False):
+                log.warning("--remat only applies to the ResPSPNet student; "
+                            "ESPNet-C is shallow enough not to need it")
             self.student = ESPNetC(num_classes=cfg.classes_num, dtype=dtype)
         else:
             self.student = ResPSPNet(block="basic", layers=(2, 2, 2, 2),
