@@ -168,4 +168,5 @@ if __name__ == "__main__":
     import sys
 
     _wait_for_tpu()
-    print(json.dumps(main(flat_sgd="--flat-sgd" in sys.argv)))
+    print(json.dumps(main(flat_sgd="--flat-sgd" in sys.argv,
+                          remat="--remat" in sys.argv)))

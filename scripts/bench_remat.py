@@ -101,7 +101,9 @@ def main(batches, size=512):
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, ".")
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import _wait_for_tpu
 
     args = sys.argv[1:]

@@ -17,10 +17,11 @@ keeps its BN modules; key surgery mirrors utils/utils.py:73-91).
 `--stablehlo-output` additionally writes a SELF-CONTAINED serving artifact
 via `jax.export`: one serialized StableHLO program with the weights baked in
 as constants, loadable with `jax.export.deserialize(blob).call(image)` — no
-model code, no checkpoint, no Python class needed at serving time. Two
-modes: `classmap` (raw BGR f32 image in → uint8 trainId map out: on-device
-mean-subtract, forward, align-corners resize, argmax — the evaluate.py fast
-path's semantics) and `logits` (stride-8 score maps out).
+model code, no checkpoint, no Python class needed at serving time. Both
+modes take RAW (not mean-subtracted) BGR f32 images — the mean subtract is
+inside the program: `classmap` returns the uint8 trainId map (forward,
+align-corners resize, argmax — the evaluate.py fast path's semantics);
+`logits` returns the stride-8 score maps.
 """
 
 from __future__ import annotations
@@ -63,7 +64,9 @@ def main(argv=None):
                    help="comma list (e.g. tpu,cpu); default: current backend")
     p.add_argument("--input-mean-bgr",
                    default="104.00698793,116.66876762,122.67891434",
-                   help="mean subtracted on-device in classmap mode")
+                   help="BGR mean subtracted on-device in BOTH modes — the "
+                        "exported program always takes RAW (unsubtracted) "
+                        "images")
     args = p.parse_args(argv)
 
     import jax
