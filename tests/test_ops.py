@@ -96,6 +96,40 @@ def test_max_pool_grad_matches_torch(hw, kernel, stride, pad, ceil):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_max_pool_grad_randomized_sweep():
+    """Random-shape tie-saturated grad parity, biased to kernel==stride so the
+    tiled custom-VJP path gets broad coverage (floor/ceil, padding, crops)."""
+    rng = np.random.RandomState(4321)
+    for i in range(12):
+        ih, iw = int(rng.randint(4, 30)), int(rng.randint(4, 30))
+        kh, kw = int(rng.randint(1, 6)), int(rng.randint(1, 6))
+        if i % 3 != 0:  # mostly non-overlapping (the new path)
+            sh, sw = kh, kw
+        else:
+            sh, sw = int(rng.randint(1, 5)), int(rng.randint(1, 5))
+        ph, pw = int(rng.randint(0, kh // 2 + 1)), int(rng.randint(0, kw // 2 + 1))
+        ceil = bool(rng.randint(0, 2))
+        x = rng.randint(0, 3, size=(2, ih, iw, 3)).astype(np.float32)
+        try:
+            yt_shape = F.max_pool2d(torch.zeros(1, 1, ih, iw), (kh, kw),
+                                    (sh, sw), (ph, pw), ceil_mode=ceil).shape
+        except RuntimeError:
+            continue  # torch rejects this config (e.g. pad > kernel/2)
+        dy = rng.randn(2, *yt_shape[2:], 3).astype(np.float32)
+
+        def f(xx):
+            y = max_pool_2d(xx, (kh, kw), (sh, sw), (ph, pw), ceil_mode=ceil)
+            return jnp.sum(y * jnp.asarray(dy))
+
+        ours = jax.grad(f)(jnp.asarray(x))
+        xt = nchw(x).requires_grad_(True)
+        yt = F.max_pool2d(xt, (kh, kw), (sh, sw), (ph, pw), ceil_mode=ceil)
+        yt.backward(torch.from_numpy(np.transpose(dy, (0, 3, 1, 2))))
+        msg = f"grad pool {(ih, iw)} k{(kh, kw)} s{(sh, sw)} p{(ph, pw)} ceil={ceil}"
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(xt.grad),
+                                   rtol=1e-6, atol=1e-6, err_msg=msg)
+
+
 @pytest.mark.parametrize("hw,out", [((65, 65), (6, 6)), ((65, 65), (1, 1)),
                                     ((64, 64), (3, 3)), ((129, 257), (2, 5))])
 def test_adaptive_avg_pool_matches_torch(hw, out):
