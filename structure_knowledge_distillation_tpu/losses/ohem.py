@@ -13,7 +13,8 @@ Here the same selection runs on-device with static shapes:
     `zoom(order=0)` calls (scipy maps output index i to input coordinate
     i·(in−1)/(out−1) with out = round(in/factor); order 0 rounds via
     floor(x+0.5)),
-  * the k-th smallest valid probability comes from a sort (k is static),
+  * the k-th smallest valid probability comes from `lax.top_k` on the
+    negated tensor (k is static; O(n·log k), no full sort),
   * the CE is a masked mean over kept pixels.
 As in the reference, if fewer than min_kept valid pixels exist the threshold
 is 1.0 (keep everything valid), and the threshold never drops below `thresh`.
@@ -73,7 +74,14 @@ def ohem_cross_entropy(
 
     if k > 0:
         flat = jnp.where(ds_valid, ds_prob, jnp.inf).ravel()
-        kth_value = jnp.sort(flat)[min(k, flat.size) - 1]
+        kk = min(k, flat.size)
+        # k-th smallest via top_k of the negation — O(n·log k) instead of a
+        # full O(n·log n) sort of the downsampled tensor. The selection
+        # semantics match the reference's host-side np.ndarray.argsort
+        # threshold pick (utils/criterion.py:38-45): k-th smallest valid
+        # ground-truth probability.
+        neg_topk, _ = jax.lax.top_k(-flat, kk)
+        kth_value = -neg_topk[kk - 1]
         threshold = jnp.maximum(jnp.float32(thresh), kth_value)
     else:
         # reference: min_kept == 0 leaves threshold at `thresh`

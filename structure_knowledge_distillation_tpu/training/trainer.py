@@ -448,6 +448,12 @@ class KDTrainer:
                 getattr(self.cfg, "input_mean_bgr",
                         (104.00698793, 116.66876762, 122.67891434)),
                 np.float32)
+        # published-eval-mode in-training validation: cfg.scales/cfg.flip
+        # (reference evaluate.py:115-134 multiscale+flip semantics) thread
+        # through BOTH the sharded and single-device paths, so `--scales
+        # 0.75,1.0,1.25 --flip` validates the same way `cli.eval` reports.
+        scales = tuple(getattr(self.cfg, "scales", (1.0,)) or (1.0,))
+        flip = bool(getattr(self.cfg, "flip", False))
         if whole and self.mesh is not None:
             # shard the val sweep over the data axis: n_data images per
             # dispatch, confusion matrices all-reduced on device
@@ -465,12 +471,14 @@ class KDTrainer:
                     sharding=self.batch_sharding,
                     ignore_label=self.cfg.ignore_label,
                     input_mean=input_mean,
+                    scales=scales, flip=flip,
                 )
         return evaluate_main(
             self.student, variables, val_loader, self.cfg.classes_num,
             out_size=out_size, eval_type="val", whole=whole,
             ignore_label=self.cfg.ignore_label,
             input_mean=input_mean,
+            scales=scales, flip=flip,
         )
 
     # ------------------------------------------------------------------- ckpt

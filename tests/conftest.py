@@ -28,9 +28,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # The suite is compile-dominated (full-model train steps at 256²+ on one CPU
 # core take minutes each to build). A persistent XLA compile cache makes
-# repeat suite runs hit warm entries; results are unaffected.
+# repeat suite runs hit warm entries; results are unaffected. The directory is
+# host-fingerprinted: AOT CPU executables are ISA-specific, and a cache dir
+# carried to a different machine (fs snapshot) would otherwise load foreign
+# code (cpu_aot_loader "+feature is not supported … SIGILL" warnings).
+from structure_knowledge_distillation_tpu.utils.compile_cache import (  # noqa: E402
+    host_keyed_cache_dir,
+)
+
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sskd_test_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      host_keyed_cache_dir("/tmp/sskd_test_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:
     pass

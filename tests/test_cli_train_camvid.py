@@ -15,6 +15,7 @@ Regression for two round-2 defects:
 import os
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from structure_knowledge_distillation_tpu.cli import train as cli_train
@@ -35,6 +36,7 @@ def _make_camvid_tree(root, n_train=4, n_val=1, size=(360, 480)):
             Image.fromarray(ann).save(os.path.join(ann_dir, f"f{i}.png"))
 
 
+@pytest.mark.slow
 def test_cli_train_camvid_survives_eval(tmp_path):
     root = str(tmp_path / "camvid")
     _make_camvid_tree(root)

@@ -9,6 +9,7 @@ to the dataset; VOC = 505)."""
 import os
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from structure_knowledge_distillation_tpu.cli import train as cli_train
@@ -38,6 +39,7 @@ def _make_voc_tree(root, n_train=4, n_val=1, size=(375, 500)):
                 os.path.join(root, "SegmentationClassAug", f"{n}.png"))
 
 
+@pytest.mark.slow
 def test_cli_train_voc_survives_padded_eval(tmp_path):
     root = str(tmp_path / "voc")
     _make_voc_tree(root)

@@ -33,6 +33,7 @@ the identical α and feeds it to the torch side.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -47,6 +48,8 @@ from structure_knowledge_distillation_tpu.training import (
     make_sgd,
     make_train_step,
 )
+
+pytestmark = pytest.mark.slow  # full-model torch composite oracle (multi-minute compiles)
 
 EPS = 1e-5
 CLASSES = 7

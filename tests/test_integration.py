@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from structure_knowledge_distillation_tpu.config import TrainConfig
 from structure_knowledge_distillation_tpu.models import Discriminator, ResPSPNet
@@ -37,6 +38,7 @@ def _setup(num_steps=50):
     return cfg, teacher, student, disc, state, step, images, labels
 
 
+@pytest.mark.slow
 def test_train_eval_checkpoint_resume(tmp_path):
     cfg, teacher, student, disc, state, step, images, labels = _setup()
 
@@ -67,6 +69,7 @@ def test_train_eval_checkpoint_resume(tmp_path):
         np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8_devices():
     import __graft_entry__ as ge
 

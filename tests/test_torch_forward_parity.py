@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from structure_knowledge_distillation_tpu.models import ResPSPNet
 from structure_knowledge_distillation_tpu.training import checkpoint as ckpt
 
+pytestmark = pytest.mark.slow  # full ResPSPNet/SAGAN forwards vs torch (compile-heavy)
+
 EPS = 1e-5
 
 

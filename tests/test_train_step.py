@@ -180,6 +180,7 @@ def test_device_loop_matches_sequential_steps():
                                    float(metrics_k["g_loss"][i]), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_data_parallel_invariance():
     """One sharded step over an 8-device data mesh == the unsharded step.
 
@@ -223,6 +224,7 @@ def test_data_parallel_invariance():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_device_loop_data_parallel_invariance():
     """The scanned loop under a data-sharded mesh (stacked_batch_sharding:
     leading unroll axis replicated, batch axis sharded) must match the
@@ -291,6 +293,7 @@ def test_distillation_pulls_student_toward_teacher():
     assert pi_losses[-1] < pi_losses[0] * 0.9, pi_losses
 
 
+@pytest.mark.slow
 def test_kd_trainer_fit_and_eval(tmp_path):
     """KDTrainer end-to-end at the class level (tiny teacher, synthetic)."""
     from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
@@ -317,6 +320,7 @@ def test_kd_trainer_fit_and_eval(tmp_path):
     assert (tmp_path / "log" / "scalars.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_kd_trainer_espnet_cross_family(tmp_path):
     """ESPNet student (floor-stride grid) vs PSPNet teacher (ceil-stride):
     the train step aligns the teacher's stride-8 grid to the student's by
@@ -357,6 +361,7 @@ def test_kd_trainer_espnet_cross_family(tmp_path):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_kd_trainer_fit_unrolled(tmp_path):
     """KDTrainer with unroll_steps=2 (device loop): 5 steps = 2 full chunks +
     a short tail; cadence hits inside chunks still log/eval/checkpoint."""
@@ -384,6 +389,7 @@ def test_kd_trainer_fit_unrolled(tmp_path):
     assert (tmp_path / "log" / "scalars.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_tensor_parallel_invariance():
     """dp=2 × tp=2 sharded step == unsharded step (teacher wide convs sharded
     on the model axis; XLA inserts the collectives)."""
@@ -422,6 +428,7 @@ def test_tensor_parallel_invariance():
                                    rtol=2e-3, atol=1e-5), k
 
 
+@pytest.mark.slow
 def test_trainer_auto_resume(tmp_path):
     """Crash-recovery: a new trainer resumes from the latest async checkpoint
     and continues from the saved step."""
@@ -456,6 +463,7 @@ def test_trainer_auto_resume(tmp_path):
     assert int(trainer2.state.step) > 2
 
 
+@pytest.mark.slow
 def test_trainer_preemption_checkpoint(tmp_path):
     """Graceful preemption: SIGTERM mid-run checkpoints at the next step
     boundary, stops, restores the previous handler, and a fresh trainer
@@ -497,6 +505,7 @@ def test_trainer_preemption_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_preemption_same_step_as_eval_save(tmp_path):
     """SIGTERM landing in the same chunk as an eval-cadence save: both
     saves target the same orbax step — the second must be an idempotent
@@ -537,6 +546,7 @@ def test_preemption_same_step_as_eval_save(tmp_path):
     assert trainer2.try_resume() == 2
 
 
+@pytest.mark.slow
 def test_midchunk_eval_checkpoint_labels(tmp_path):
     """Under the device loop a cadence eval can land mid-chunk: the snapshot
     keeps the reference CS_scenes_{cadence} name but records the true
@@ -580,6 +590,7 @@ def test_midchunk_eval_checkpoint_labels(tmp_path):
     assert int(trainer2.state.step) == 4
 
 
+@pytest.mark.slow
 def test_repeated_evals_get_fresh_loader(tmp_path):
     """fit() with a val-loader factory evaluates correctly more than once."""
     from structure_knowledge_distillation_tpu.data.synthetic import SyntheticSegDataset
@@ -617,6 +628,7 @@ def test_repeated_evals_get_fresh_loader(tmp_path):
     assert evals[0] > 0.0 and evals[1] > 0.0, evals
 
 
+@pytest.mark.slow
 def test_sharded_step_contains_collectives():
     """The compiled dp-sharded step must contain cross-replica all-reduces
     (gradient + BN-stat sync) — i.e., the mesh actually distributes work."""
@@ -647,6 +659,7 @@ def test_sharded_step_contains_collectives():
     assert "all-reduce" in hlo, "no cross-replica reduction in the sharded step"
 
 
+@pytest.mark.slow
 def test_multislice_dcn_invariance():
     """One step over a ('dcn','data','model') = (2,2,2) mesh (multi-slice
     data parallel + TP) == the unsharded step — the cross-slice reduction
@@ -724,6 +737,7 @@ def test_device_loop_valid_mask_pads_tail():
     assert float(metrics_k["g_loss"][1]) != 0.0
 
 
+@pytest.mark.slow
 def test_fit_unrolled_prechunked_single_program(tmp_path):
     """fit() with unroll>1 fed the cli.train pipeline (host-side
     chunk_batches -> device_prefetch) must (a) consume pre-stacked Chunks
@@ -798,6 +812,7 @@ def test_flat_sgd_matches_optax_chain():
     assert int(_set_schedule_count(flat_state, 7).count) == 7
 
 
+@pytest.mark.slow
 def test_spatial_parallel_invariance():
     """dp=2 × sp=2 (image height sharded across devices): the sharded train
     step must match the unsharded step — conv halo exchanges, BN statistics
