@@ -28,12 +28,16 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
          steps: int = 80, compute_dtype: str = "bfloat16",
          pi: bool = True, pa: bool = True, ho: bool = True,
          teacher_layers=(3, 4, 23, 3), unroll: int = 40,
-         flat_sgd: bool = False, remat: bool = False) -> dict:
+         flat_sgd: bool = False, remat: bool = False,
+         stem_s2d: bool = False) -> dict:
     import jax
 
     # Persistent compile cache: the full-recipe step takes ~6-7 min to
     # compile through the axon relay; cached recompiles take seconds.
     # (Verified functional through the relay — entries are written and hit.)
+    # Deliberately NOT host-fingerprinted (unlike the CPU caches in
+    # utils/compile_cache.py): these are TPU executables, independent of the
+    # host CPU's ISA, and the dryrun/tests no longer share this directory.
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/sskd_jax_cache")
     except Exception:
@@ -57,9 +61,9 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
         imsize_for_adv=65, compute_dtype=compute_dtype, remat=remat,
     )
     teacher = ResPSPNet(block="bottleneck", layers=tuple(teacher_layers),
-                        num_classes=19, dtype=dtype)
+                        num_classes=19, dtype=dtype, stem_s2d=stem_s2d)
     student = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19,
-                        dtype=dtype, remat=remat)
+                        dtype=dtype, remat=remat, stem_s2d=stem_s2d)
     disc = Discriminator(preprocess_mode=1, image_size=65, conv_dim=64, dtype=dtype)
 
     key = jax.random.PRNGKey(0)
@@ -140,7 +144,8 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
         "baseline_img_per_sec": BASELINE_IMG_PER_SEC,
         "baseline_note": "estimated PyTorch reference on 1xA100 (no published throughput)",
         "config": {"batch": batch_size, "image_size": image_size,
-                   "unroll": unroll, "dtype": compute_dtype, "remat": remat},
+                   "unroll": unroll, "dtype": compute_dtype, "remat": remat,
+                   "stem_s2d": stem_s2d},
     }
 
 
@@ -179,4 +184,5 @@ if __name__ == "__main__":
 
     _wait_for_tpu()
     print(json.dumps(main(flat_sgd="--flat-sgd" in sys.argv,
-                          remat="--remat" in sys.argv)))
+                          remat="--remat" in sys.argv,
+                          stem_s2d="--stem-s2d" in sys.argv)))

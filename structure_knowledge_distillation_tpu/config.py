@@ -123,6 +123,11 @@ class TrainConfig:
     profile_steps: int = 5
     eval_every: int = 0  # 0 => reference schedule (last 1000 steps, every 2975/batch)
     best_mean_IU: float = 0.0
+    # published-eval-mode in-training validation (reference evaluate.py:115-134
+    # multiscale+flip semantics; the reference trainer validates single-scale
+    # only — these let --scales/--flip validate the way cli.eval reports)
+    scales: Tuple[float, ...] = (1.0,)
+    flip: bool = False
 
     # per-dataset BGR means (CamVid value == data.camvid.CAMVID_MEAN; a test
     # asserts the two stay in sync — config cannot import data without a cycle)
@@ -224,6 +229,9 @@ class TrainConfig:
         p.add_argument("--log-every", default=10, type=int)
         p.add_argument("--eval-every", default=0, type=int)
         p.add_argument("--best-mean-IU", default=0.0, type=float)
+        p.add_argument("--scales", default="1.0", type=str,
+                       help="in-training val multi-scale avg, e.g. 0.75,1.0")
+        p.add_argument("--flip", default=False, type=str2bool)
         ns = p.parse_args(argv)
         h, w = map(int, ns.input_size.split(","))
         kwargs = {}
@@ -233,6 +241,8 @@ class TrainConfig:
                 kwargs["input_size"] = (h, w)
             elif key == "teacher_layers":
                 kwargs["teacher_layers"] = tuple(int(x) for x in val.split(","))
+            elif key == "scales":
+                kwargs["scales"] = tuple(float(s) for s in val.split(","))
             elif key in field_names:
                 kwargs[key] = val
         return cls(**kwargs)

@@ -202,6 +202,67 @@ class _StemConv1(nn.Module):
         return y.astype(dt)
 
 
+class _StemS2DConv1(nn.Module):
+    """The 3-channel stem conv (3→64, 3×3, stride 2) as a space-to-depth
+    folded 2×2 stride-1 conv: the input (N,H,W,3) is re-laid to
+    (N,H/2,W/2,12) — the stride-2 absorbed into the layout — and the
+    canonical 3×3 kernel is folded in-forward into a (2,2,12,F) kernel
+    (zero taps where the fold falls outside the 3×3 support; the fold is a
+    27-element reshuffle, negligible per step). Output position (i,j) reads
+    s2d rows i-1..i / phase p = original rows 2i+(2·bi+p−2), matching
+    torch's stride-2 pad-1 window 2i−1..2i+1 exactly (di = 2·bi+p−1).
+
+    Why try it: both layouts pad the implicit-matmul K dim (27 vs 48) to the
+    same 128 lanes, so MXU work is identical — the candidate win is stride-1
+    codegen + better lane occupancy on the 12-channel input vs the
+    3-channel strided window. The relayout itself costs one extra HBM round
+    trip of the stem input (~0.03 ms at 512²×8) — noise if the 2-7×
+    over-floor gap closes. MEASURE before enabling (see ROADMAP round-4
+    stem notes; the two prior stem attempts were recorded negatives).
+
+    Parameter tree ("kernel" (3,3,3,F), optional "bias") is identical to
+    `nn.Conv`, so checkpoint import is unaffected. Requires even H,W
+    (callers gate; odd geometries fall back to the plain conv).
+    Reference counterpart: resnet stem conv1 (pspnet_combine.py:121-127).
+    """
+
+    features: int = 64
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        kernel = self.param("kernel", _KERNEL_INIT,
+                            (3, 3, c, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        # space-to-depth(2): channel index = (pi, pj, c), phase-major
+        xs = x.astype(dt).reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        folded = jnp.zeros((2, 2, 4 * c, self.features), kernel.dtype)
+        for bi in range(2):
+            for pi in range(2):
+                di = 2 * bi + pi - 1
+                if not 0 <= di < 3:
+                    continue
+                for bj in range(2):
+                    for pj in range(2):
+                        dj = 2 * bj + pj - 1
+                        if not 0 <= dj < 3:
+                            continue
+                        ch = (pi * 2 + pj) * c
+                        folded = folded.at[bi, bj, ch:ch + c, :].set(
+                            kernel[di, dj])
+        y = jax.lax.conv_general_dilated(
+            xs, folded.astype(dt), window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        return y.astype(dt)
+
+
 class _PSPBottleneckConv(nn.Module):
     """The PSP 3×3 bottleneck conv over [stage0‖…‖stage3‖x4] WITHOUT
     materializing the concatenated (…,4096) tensor.
@@ -323,6 +384,7 @@ class ResPSPNet(nn.Module):
     fold_bn: bool = False  # eval-only: BN pre-folded into conv weights/biases
     dense_psp_bottleneck: bool = False  # concat+conv PSP path (parity escape)
     stem_patches_conv1: bool = False  # im2col stem conv1 (measured slower)
+    stem_s2d: bool = False  # space-to-depth folded stem conv1 (measure first)
     drop_rate: float = 0.1  # PSP/DSN Dropout2d rate; 0.0 disables (oracles)
     # Rematerialize each residual block on the backward pass (jax.checkpoint
     # per block): activation memory drops from O(depth) intermediates to one
@@ -350,7 +412,10 @@ class ResPSPNet(nn.Module):
         bn = lambda name: mk_bn("none", name)
         bias = self.fold_bn
         # Stem: 3 -> 64 -> 64 -> 128, stride 2 then ceil-mode 3x3/2 max pool.
-        if self.stem_patches_conv1:
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            conv1_out = _StemS2DConv1(64, use_bias=bias, dtype=self.dtype,
+                                      name="conv1")(x)
+        elif self.stem_patches_conv1:
             conv1_out = _StemConv1(64, use_bias=bias, dtype=self.dtype,
                                    name="conv1")(x)
         else:

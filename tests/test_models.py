@@ -253,3 +253,58 @@ def test_psp_factored_bottleneck_matches_dense():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-4, err_msg=str(pa))
+
+
+def test_stem_s2d_conv1_matches_plain_conv():
+    """Space-to-depth folded stem conv1 (`_StemS2DConv1`) == nn.Conv 3×3/s2
+    on the SAME parameter tree — values, kernel grad, and input grad. The
+    fold re-lays the canonical (3,3,3,F) kernel in-forward, so checkpoints
+    are layout-unchanged. Reference stem: pspnet_combine.py:121-127."""
+    from structure_knowledge_distillation_tpu.models.resnet_pspnet import (
+        _StemS2DConv1, _conv,
+    )
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 16, 20, 3).astype(np.float32))
+    plain, s2d = _conv(8, 3, 2), _StemS2DConv1(8)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    y0, y1 = plain.apply(v, x), s2d.apply(v, x)
+    assert y1.shape == y0.shape == (2, 8, 10, 8)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+    tgt = jnp.asarray(rng.randn(*y0.shape).astype(np.float32))
+
+    def loss(m):
+        return lambda v, x: jnp.sum((m.apply(v, x) - tgt) ** 2)
+
+    g0 = jax.grad(loss(plain), argnums=(0, 1))(v, x)
+    g1 = jax.grad(loss(s2d), argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(g0[0]["params"]["kernel"]),
+                               np.asarray(g1[0]["params"]["kernel"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stem_s2d_model_forward_and_odd_fallback():
+    """ResPSPNet(stem_s2d=True) reproduces the plain model on the same
+    variables at even geometry, and falls back to the plain conv (same
+    program, same outputs) at odd H/W — VOC's 505² must keep working."""
+    rng = np.random.RandomState(12)
+    plain = ResPSPNet(block="basic", layers=(1, 1, 1, 1), num_classes=6)
+    s2d = ResPSPNet(block="basic", layers=(1, 1, 1, 1), num_classes=6,
+                    stem_s2d=True)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    variables = plain.init(jax.random.PRNGKey(3), x, train=False)
+    out_p = plain.apply(variables, x, train=False)
+    out_s = s2d.apply(variables, x, train=False)
+    for i, (a, b) in enumerate(zip(out_p, out_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"out {i}")
+    # odd geometry: both run the identical plain-conv path
+    x_odd = jnp.asarray(rng.randn(1, 65, 65, 3).astype(np.float32))
+    out_po = plain.apply(variables, x_odd, train=False)
+    out_so = s2d.apply(variables, x_odd, train=False)
+    np.testing.assert_allclose(np.asarray(out_po[0]), np.asarray(out_so[0]),
+                               rtol=1e-6, atol=1e-6)

@@ -851,3 +851,41 @@ def test_spatial_parallel_invariance():
                     jax.tree.leaves(ref_state.student_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_eval_threads_scales_and_flip(monkeypatch):
+    """`KDTrainer.evaluate` must hand cfg.scales/cfg.flip to BOTH val paths
+    (published-eval-mode in-training validation, reference
+    evaluate.py:115-134): the mesh-sharded sweep and the single-device
+    evaluate_main. Wiring test — the msf math itself is invariance-tested
+    in test_data_eval; here the real eval fns are stubbed out."""
+    from structure_knowledge_distillation_tpu.training import (
+        evaluate as eval_mod,
+        trainer as trainer_mod,
+    )
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(64, 64), num_steps=1,
+        teacher_layers=(1, 1, 1, 1), ho=False, compute_dtype="float32",
+        scales=(0.75, 1.0), flip=True,
+    )
+    trainer = trainer_mod.KDTrainer(cfg)
+    seen = {}
+
+    def fake_sharded(model, variables, loader, num_classes, **kw):
+        seen["sharded"] = {k: kw[k] for k in ("scales", "flip")}
+        return 0.5, np.zeros(num_classes)
+
+    def fake_main(model, variables, loader, num_classes, **kw):
+        seen["main"] = {k: kw[k] for k in ("scales", "flip")}
+        return 0.5, np.zeros(num_classes)
+
+    monkeypatch.setattr(eval_mod, "evaluate_sharded", fake_sharded)
+    monkeypatch.setattr(trainer_mod, "evaluate_main", fake_main)
+
+    trainer.evaluate([], out_size=(64, 64), whole=True)
+    trainer.evaluate([], out_size=(64, 64), whole=False)
+    expect = {"scales": (0.75, 1.0), "flip": True}
+    if trainer.mesh is not None:  # 8 virtual devices in the suite
+        assert seen["sharded"] == expect, seen
+    assert seen["main"] == expect, seen

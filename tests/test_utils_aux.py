@@ -86,3 +86,20 @@ def test_bench_tpu_probe_paths():
     _wait_for_tpu(max_tries=2, probe_timeout_s=30, retry_wait_s=1,
                   probe_code="raise SystemExit(1)")  # must not raise
     assert time.perf_counter() - t0 < 30
+
+
+def test_host_keyed_cache_dir_is_stable_and_feature_keyed():
+    """Persistent-compile-cache dirs are suffixed with a digest of the host
+    CPU's feature set: stable within a host (warm re-runs hit the same dir),
+    import-light (no jax), and distinct from the bare base path so a
+    foreign-host cache dir is never opened (AOT CPU executables embed
+    ISA-specific code — loading another machine's entries risks SIGILL)."""
+    from structure_knowledge_distillation_tpu.utils.compile_cache import (
+        host_keyed_cache_dir,
+    )
+
+    a = host_keyed_cache_dir("/tmp/x")
+    b = host_keyed_cache_dir("/tmp/x")
+    assert a == b, "must be deterministic on one host"
+    assert a.startswith("/tmp/x-") and len(a) == len("/tmp/x-") + 12
+    assert host_keyed_cache_dir("/tmp/y").endswith(a.rsplit("-", 1)[1])
