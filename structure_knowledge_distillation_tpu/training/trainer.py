@@ -55,10 +55,11 @@ class KDTrainer:
         self.cfg = cfg
         dtype = _dtype_of(cfg.compute_dtype)
 
+        stem_s2d = bool(getattr(cfg, "stem_s2d", False))
         self.teacher = ResPSPNet(
             block="bottleneck",
             layers=tuple(getattr(cfg, "teacher_layers", (3, 4, 23, 3))),
-            num_classes=cfg.classes_num, dtype=dtype)
+            num_classes=cfg.classes_num, dtype=dtype, stem_s2d=stem_s2d)
         if getattr(cfg, "student_arch", "resnet18") == "espnet":
             from structure_knowledge_distillation_tpu.models import ESPNetC
 
@@ -69,7 +70,8 @@ class KDTrainer:
         else:
             self.student = ResPSPNet(block="basic", layers=(2, 2, 2, 2),
                                      num_classes=cfg.classes_num, dtype=dtype,
-                                     remat=bool(getattr(cfg, "remat", False)))
+                                     remat=bool(getattr(cfg, "remat", False)),
+                                     stem_s2d=stem_s2d)
         self.discriminator = Discriminator(
             preprocess_mode=cfg.preprocess_gan_mode,
             image_size=cfg.imsize_for_adv,

@@ -308,3 +308,22 @@ def test_stem_s2d_model_forward_and_odd_fallback():
     out_so = s2d.apply(variables, x_odd, train=False)
     np.testing.assert_allclose(np.asarray(out_po[0]), np.asarray(out_so[0]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_stem_s2d_cli_config_reaches_trainer_models():
+    """`--stem-s2d true` flows TrainConfig.from_args → KDTrainer → BOTH
+    ResPSPNet modules (teacher and student); default stays off. The flag is
+    the production wiring for the measured +0.6% full-recipe win (ROADMAP
+    round-4 stem notes)."""
+    from structure_knowledge_distillation_tpu.config import TrainConfig
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    argv = ["--stem-s2d", "true", "--input-size", "64,64", "--batch-size", "1",
+            "--num-steps", "1", "--teacher-layers", "1,1,1,1",
+            "--imsize-for-adv", "33", "--adv-conv-dim", "8", "--ho", "false",
+            "--compute-dtype", "float32", "--log-path", ""]
+    cfg = TrainConfig.from_args(argv)
+    assert cfg.stem_s2d is True
+    assert TrainConfig.from_args(argv[2:]).stem_s2d is False
+    trainer = KDTrainer(cfg)
+    assert trainer.teacher.stem_s2d and trainer.student.stem_s2d
