@@ -102,10 +102,12 @@ class TrainConfig:
     # enables larger batches/crops on a fixed HBM budget; numerics unchanged
     remat: bool = False
     # space-to-depth folded stem conv1 (models/resnet_pspnet._StemS2DConv1):
-    # exact parity (values+grads; canonical param tree preserved), measured
-    # +0.6% full-recipe throughput on v5e (153.4 vs 152.5 img/s/chip, see
-    # ROADMAP round-4); odd-geometry inputs fall back to the plain conv
-    stem_s2d: bool = False
+    # exact parity (values+grads; canonical param tree preserved — same
+    # checkpoints), measured +0.6% full-recipe throughput on v5e (153.4 vs
+    # 152.5 img/s/chip, ROADMAP round-4); odd-geometry inputs fall back to
+    # the plain conv. Default ON, same policy as the factored PSP bottleneck
+    # (parity-preserving rewrites that measure faster ship as the default).
+    stem_s2d: bool = True
     # host→device wire format: auto = bf16 images + uint8 labels under bf16
     # compute; u8 = re-quantized uint8 images (another 2x; exact for never-
     # padded crops, pad pixels round by <0.5/255); f32 = no narrowing

@@ -6,6 +6,7 @@ from structure_knowledge_distillation_tpu.parallel.mesh import (
     param_shardings,
     replicated,
     shard_state,
+    state_shardings,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "param_shardings",
     "replicated",
     "shard_state",
+    "state_shardings",
 ]

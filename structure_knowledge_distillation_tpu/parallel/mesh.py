@@ -27,7 +27,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "param_shardings", "shard_state"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "param_shardings",
+           "shard_state", "state_shardings"]
 
 
 def make_mesh(
@@ -127,31 +128,23 @@ def param_shardings(params: Any, mesh: Mesh, min_channels: int = 256) -> Any:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def state_shardings(state: Any, mesh: Mesh, tp_teacher: bool = True) -> Any:
+    """The NamedSharding pytree for a KDTrainState on `mesh`: everything
+    replicated except (optionally) the teacher's wide conv kernels, which
+    follow the TP rule. Used both to PLACE the state (`shard_state`) and to
+    PIN the train step/loop's `out_shardings` — pinning makes the output
+    state's shardings identical to the input spec, so the next chunk's
+    dispatch with the previous chunk's output hits the jit cache instead of
+    re-lowering (a hidden multi-minute recompile on chunk 2; measured while
+    budgeting the multichip dryrun)."""
+    sh = jax.tree.map(lambda _: replicated(mesh), state)
+    if tp_teacher and mesh.shape.get("model", 1) > 1:
+        sh = sh.replace(
+            teacher_params=param_shardings(state.teacher_params, mesh))
+    return sh
+
+
 def shard_state(state: Any, mesh: Mesh, tp_teacher: bool = True) -> Any:
     """Place a KDTrainState on the mesh: params replicated (or TP for the
     teacher's wide convs), optimizer state following its params."""
-    rep = replicated(mesh)
-
-    def place_rep(tree):
-        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
-
-    num_model = mesh.shape.get("model", 1)
-    if tp_teacher and num_model > 1:
-        t_sh = param_shardings(state.teacher_params, mesh)
-        teacher_params = jax.tree.map(jax.device_put, state.teacher_params, t_sh)
-    else:
-        teacher_params = place_rep(state.teacher_params)
-
-    return state.replace(
-        step=jax.device_put(state.step, rep),
-        rng=jax.device_put(state.rng, rep),
-        teacher_params=teacher_params,
-        teacher_stats=place_rep(state.teacher_stats),
-        student_params=place_rep(state.student_params),
-        student_stats=place_rep(state.student_stats),
-        d_params=place_rep(state.d_params),
-        d_stats=place_rep(state.d_stats),
-        d_spectral=place_rep(state.d_spectral),
-        g_opt=place_rep(state.g_opt),
-        d_opt=place_rep(state.d_opt),
-    )
+    return jax.device_put(state, state_shardings(state, mesh, tp_teacher))

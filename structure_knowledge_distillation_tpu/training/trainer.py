@@ -124,7 +124,22 @@ class KDTrainer:
         step_fn = make_train_step(cfg, self.teacher, self.student,
                                   self.discriminator, self.g_tx, self.d_tx)
         self._step_fn = step_fn
-        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        # On a mesh, PIN the output state's shardings to the input spec:
+        # fit() feeds each dispatch the previous dispatch's output state, and
+        # without out_shardings the output commits different shardings — the
+        # second chunk re-lowers the whole program (a hidden multi-minute
+        # compile mid-run; measured while budgeting dryrun_multichip).
+        # Metrics are scalars (or (unroll,) stacks) — replicated.
+        jit_kw = {}
+        if self.mesh is not None:
+            from structure_knowledge_distillation_tpu.parallel import (
+                replicated,
+                state_shardings,
+            )
+
+            jit_kw = dict(out_shardings=(
+                state_shardings(self.state, self.mesh), replicated(self.mesh)))
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,), **jit_kw)
         self.unroll = max(1, int(getattr(cfg, "unroll_steps", 1)))
         if self.unroll > 1:
             from structure_knowledge_distillation_tpu.training.train_step import (
@@ -132,7 +147,7 @@ class KDTrainer:
             )
 
             self.train_loop = jax.jit(make_train_loop(step_fn, self.unroll),
-                                      donate_argnums=(0,))
+                                      donate_argnums=(0,), **jit_kw)
         self.g_sched = poly_schedule(cfg.lr_g, cfg.num_steps, cfg.power)
         self.d_sched = poly_schedule(cfg.lr_d, cfg.num_steps, cfg.power)
 

@@ -543,10 +543,19 @@ def _run_composite(adv_loss_type: str, pi: bool, pa: bool, n_steps: int = 1,
             if nt > 1e-7:
                 err = float(np.linalg.norm(dj - dt))
                 assert err < max(rel_tol * nt, floor), (label, k, err / nt)
+                cos = float(np.dot(dj.ravel(), dt.ravel())
+                            / (np.linalg.norm(dj) * nt + 1e-30))
                 if nt > floor:
-                    cos = float(np.dot(dj.ravel(), dt.ravel())
-                                / (np.linalg.norm(dj) * nt + 1e-30))
                     assert cos > cos_tol, (label, k, cos)
+                elif nt > 0.1 * floor:
+                    # Sub-floor tensors: MAGNITUDE is chaos-dominated (the
+                    # floor exists because reduction-order noise lands them
+                    # at ~0.3 rel), but the update DIRECTION still has to
+                    # correlate — a frozen (dj=0), sign-flipped, or reset
+                    # small tensor shows cos ≤ 0 while chaos keeps
+                    # cos ≳ 0.95. Tensors under 10% of the floor (< 0.2% of
+                    # the model update) are below any measurable signal.
+                    assert cos > 0.5, (label, k, cos, "sub-floor direction")
 
     compare(after_s, before_s, torch_after_s, "student")
     compare(after_d, before_d, torch_after_d, "discriminator")
@@ -589,7 +598,17 @@ def _run_composite(adv_loss_type: str, pi: bool, pa: bool, n_steps: int = 1,
         print(f"[chaos-floor] n_steps={n_steps}: self-perturbation(1e-6) "
               f"rel drift {chaos_rel:.3e}, jax-vs-torch rel drift "
               f"{torch_rel:.3e}")
-        assert torch_rel <= max(50.0 * chaos_rel, 5e-3), (torch_rel, chaos_rel)
+        # The 50× factor over the measured self-drift is the live bound
+        # (measured: self 9.2e-2, torch 1.5e-1 at 2 steps). The ABSOLUTE
+        # fallback covers the case where a platform/XLA version amplifies
+        # the one-shot 1e-6 init perturbation less than the per-step
+        # reduction-noise re-draw of the jax-vs-torch comparison (the two
+        # are not the same noise process): it sits at ~1.7× the measured
+        # torch envelope, far under the O(1) drift a semantic divergence
+        # (wrong λ, dropped momentum, frozen schedule, reset state)
+        # produces. 5e-3 here was platform-dependent — a correct build
+        # with tiny chaos amplification would have failed spuriously.
+        assert torch_rel <= max(50.0 * chaos_rel, 2.5e-1), (torch_rel, chaos_rel)
 
 
 def test_composite_one_step_matches_torch():

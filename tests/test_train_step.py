@@ -853,6 +853,45 @@ def test_spatial_parallel_invariance():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_mesh_loop_chunk2_reuses_compiled_program():
+    """Production fit() on a mesh dispatches the SAME compiled loop once per
+    chunk, feeding each chunk the previous chunk's output state. Without
+    out_shardings pinned to the input shardings, the output state commits
+    different shardings and chunk 2 re-lowers — a hidden multi-minute
+    compile mid-run (measured while budgeting dryrun_multichip, see
+    __graft_entry__ docstring). Gate: second dispatch with the loop's own
+    output state must HIT the jit cache."""
+    from structure_knowledge_distillation_tpu.parallel import (
+        stacked_batch_sharding,
+    )
+    from structure_knowledge_distillation_tpu.training.trainer import KDTrainer
+
+    cfg = TrainConfig(
+        classes_num=19, batch_size=2, input_size=(64, 64), num_steps=8,
+        teacher_layers=(1, 1, 1, 1), ho=False, compute_dtype="float32",
+        unroll_steps=2, num_data_shards=2, log_path="",
+    )
+    trainer = KDTrainer(cfg)
+    assert trainer.mesh is not None
+    sh = stacked_batch_sharding(trainer.mesh)
+    rng = np.random.RandomState(5)
+    images_k = jax.device_put(
+        jnp.asarray(rng.randn(2, 2, 64, 64, 3).astype(np.float32)), sh)
+    labels_k = jax.device_put(
+        jnp.asarray(rng.randint(0, 19, (2, 2, 64, 64)).astype(np.int32)), sh)
+    valid = np.array([True, True])
+
+    state, m1 = trainer.train_loop(trainer.state, images_k, labels_k, valid)
+    assert trainer.train_loop._cache_size() == 1
+    state, m2 = trainer.train_loop(state, images_k, labels_k, valid)
+    assert trainer.train_loop._cache_size() == 1, (
+        "chunk-2 dispatch re-lowered: the loop's output state committed "
+        "shardings that differ from its input spec")
+    assert int(state.step) == 4
+    assert np.isfinite(float(m2["g_loss"][-1]))
+
+
 def test_trainer_eval_threads_scales_and_flip(monkeypatch):
     """`KDTrainer.evaluate` must hand cfg.scales/cfg.flip to BOTH val paths
     (published-eval-mode in-training validation, reference
