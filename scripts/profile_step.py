@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, steps: int):
+def capture(out_dir: str, steps: int, stem_s2d: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -32,8 +32,10 @@ def capture(out_dir: str, steps: int):
                       num_steps=40000, imsize_for_adv=65,
                       compute_dtype="bfloat16")
     dtype = jnp.bfloat16
-    teacher = ResPSPNet(block="bottleneck", layers=(3, 4, 23, 3), num_classes=19, dtype=dtype)
-    student = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19, dtype=dtype)
+    teacher = ResPSPNet(block="bottleneck", layers=(3, 4, 23, 3), num_classes=19,
+                        dtype=dtype, stem_s2d=stem_s2d)
+    student = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19,
+                        dtype=dtype, stem_s2d=stem_s2d)
     disc = Discriminator(preprocess_mode=1, image_size=65, conv_dim=64, dtype=dtype)
     key = jax.random.PRNGKey(0)
     images = jax.random.normal(key, (8, 512, 512, 3), jnp.float32)
@@ -107,8 +109,10 @@ if __name__ == "__main__":
     p.add_argument("--steps", default=5, type=int)
     p.add_argument("--out", default="/tmp/step_trace", type=str)
     p.add_argument("--report-only", action="store_true")
+    p.add_argument("--no-stem-s2d", action="store_true",
+                   help="profile the literal (pre-fold) stem layout")
     a = p.parse_args()
     if not a.report_only:
-        capture(a.out, a.steps)
+        capture(a.out, a.steps, stem_s2d=not a.no_stem_s2d)
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     report(a.out, a.steps)
