@@ -14,6 +14,16 @@ undocumented). We use an estimate of the PyTorch reference recipe re-run on
 one A100: ~22 img/s (R101 no-grad fwd ≈ 0.53 TF/img + R18 train ≈ 3×0.12
 TF/img + 3×D fwd/bwd + GP double-backward at f32/TF32, data-loader bound).
 vs_baseline = value / 22.0. The driver's north star is vs_baseline ≥ 2.
+
+The JSON also carries an ABSOLUTE metric independent of that estimate:
+  "mfu": flops_per_step / step_time / chip bf16 peak,
+with flops_per_step from a structural conv+dot count of the traced step
+jaxpr (2 flops per MAC — the standard MFU convention; see
+utils/flops.py for why XLA's own cost analysis cannot be the numerator on
+TPU) and the peak from the device_kind table below. The train program is
+AOT-compiled (lower→compile) — identical executable through the shared
+persistent cache — so XLA's cost analysis is also emitted as a cross-check
+field without a second compile.
 """
 
 from __future__ import annotations
@@ -22,6 +32,19 @@ import json
 import time
 
 BASELINE_IMG_PER_SEC = 22.0
+
+# Dense bf16 peak FLOP/s per chip, keyed by jax device_kind. v5e ("TPU v5
+# lite"): 197 TFLOP/s bf16 (Google Cloud TPU v5e spec). Unknown kinds emit
+# mfu: null rather than a wrong number.
+_PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
 def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
@@ -103,19 +126,45 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
     # Device-side multi-step loop (lax.scan over `unroll` microbatches per
     # dispatch) — amortizes the per-step launch overhead exactly the way a
     # production infeed loop does. unroll=1 falls back to one dispatch/step.
+    # AOT (lower→compile) rather than plain jit: identical executable (the
+    # persistent compile cache is shared), but the compiled object exposes
+    # cost_analysis() for the MFU computation below.
     if unroll > 1:
-        loop = jax.jit(make_train_loop(step_fn, unroll), donate_argnums=(0,))
         images_k = jnp.broadcast_to(images, (unroll,) + images.shape)
         labels_k = jnp.broadcast_to(labels, (unroll,) + labels.shape)
+        loop = jax.jit(make_train_loop(step_fn, unroll), donate_argnums=(0,)) \
+            .lower(state, images_k, labels_k).compile()
 
         def step(state, images, labels):
             new_state, metrics_k = loop(state, images_k, labels_k)
             return new_state, {"g_loss": metrics_k["g_loss"][-1]}
 
+        compiled = loop
         steps = max(1, steps // unroll)
         warmup = max(1, warmup // unroll)
     else:
-        step = jax.jit(step_fn, donate_argnums=(0,))
+        step = jax.jit(step_fn, donate_argnums=(0,)) \
+            .lower(state, images, labels).compile()
+        compiled = step
+
+    # FLOPs/step for MFU: a structural conv+dot count (2 flops per MAC) of
+    # the traced single-step jaxpr — NOT compiled.cost_analysis(), whose
+    # TPU 'flops' omits convolutions (convs lower to custom calls; it
+    # reports ~160 GF where the conv+dot sum is ~7 TF on this step). XLA's
+    # number is still emitted as a cross-check field.
+    from structure_knowledge_distillation_tpu.utils.flops import flops_of_fn
+
+    try:
+        flops_per_step = flops_of_fn(step_fn, state, images, labels)
+    except Exception:
+        flops_per_step = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        xla_flops_per_step = float(cost["flops"]) / max(unroll, 1)
+    except Exception:
+        xla_flops_per_step = None
 
     # NOTE: on the axon relay, block_until_ready does not force execution —
     # a value fetch does. Materialize a scalar to fence the timed region.
@@ -133,6 +182,14 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
     imgs_per_sec = batch_size * steps * max(unroll, 1) / dt
     n_chips = max(len(jax.devices()), 1)
     per_chip = imgs_per_sec / n_chips
+
+    # MFU: flops/step ÷ fenced step time ÷ chip bf16 peak — the absolute
+    # perf metric (independent of the estimated A100 denominator above).
+    step_time_s = dt / (steps * max(unroll, 1))
+    device_kind = jax.devices()[0].device_kind
+    peak = _PEAK_BF16_FLOPS.get(device_kind)
+    mfu = (round(flops_per_step / step_time_s / peak, 4)
+           if flops_per_step and peak else None)
     return {
         "metric": "cityscapes_512_kd_train_images_per_sec_per_chip",
         "value": round(per_chip, 3),
@@ -146,6 +203,18 @@ def main(batch_size: int = 8, image_size: int = 512, warmup: int = 40,
         "baseline_denominator": "estimated",
         "baseline_img_per_sec": BASELINE_IMG_PER_SEC,
         "baseline_note": "estimated PyTorch reference on 1xA100 (no published throughput)",
+        # Absolute complement to vs_baseline: measured on THIS chip with no
+        # estimated quantity involved (XLA cost analysis of the timed
+        # executable / fenced step time / device peak).
+        "mfu": mfu,
+        "flops_per_step": flops_per_step,
+        "flops_source": "analytic_jaxpr_conv_dot" if flops_per_step else None,
+        # XLA's own cost analysis of the timed executable, for the record —
+        # on TPU it omits conv flops (custom calls), hence not used for MFU.
+        "xla_flops_per_step": xla_flops_per_step,
+        "step_time_ms": round(step_time_s * 1e3, 3),
+        "device_kind": device_kind,
+        "peak_bf16_flops": peak,
         "config": {"batch": batch_size, "image_size": image_size,
                    "unroll": unroll, "dtype": compute_dtype, "remat": remat,
                    "stem_s2d": stem_s2d},
@@ -183,9 +252,29 @@ def _wait_for_tpu(max_tries: int = 10, probe_timeout_s: int = 180,
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
+
+    # argparse (not substring checks) so a stale or typoed flag fails loudly
+    # instead of silently benchmarking the default configuration.
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--flat-sgd", action="store_true",
+                    help="flattened single-vector SGD (recorded negative)")
+    ap.add_argument("--remat", action="store_true",
+                    help="student per-block rematerialization (memory mode)")
+    ap.add_argument("--no-stem-s2d", action="store_true",
+                    help="revert the space-to-depth folded stem (default on)")
+    ap.add_argument("--unroll-steps", type=int, default=40,
+                    help="device-loop scan length per dispatch")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--warmup", type=int, default=40)
+    args = ap.parse_args()
 
     _wait_for_tpu()
-    print(json.dumps(main(flat_sgd="--flat-sgd" in sys.argv,
-                          remat="--remat" in sys.argv,
-                          stem_s2d="--no-stem-s2d" not in sys.argv)))
+    print(json.dumps(main(batch_size=args.batch_size,
+                          image_size=args.image_size,
+                          warmup=args.warmup, steps=args.steps,
+                          unroll=args.unroll_steps,
+                          flat_sgd=args.flat_sgd, remat=args.remat,
+                          stem_s2d=not args.no_stem_s2d)))
