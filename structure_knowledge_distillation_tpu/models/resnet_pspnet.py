@@ -212,13 +212,14 @@ class _StemS2DConv1(nn.Module):
     s2d rows i-1..i / phase p = original rows 2i+(2·bi+p−2), matching
     torch's stride-2 pad-1 window 2i−1..2i+1 exactly (di = 2·bi+p−1).
 
-    Why try it: both layouts pad the implicit-matmul K dim (27 vs 48) to the
-    same 128 lanes, so MXU work is identical — the candidate win is stride-1
+    Why it wins: both layouts pad the implicit-matmul K dim (27 vs 48) to
+    the same 128 lanes, so MXU work is identical — the win is stride-1
     codegen + better lane occupancy on the 12-channel input vs the
     3-channel strided window. The relayout itself costs one extra HBM round
-    trip of the stem input (~0.03 ms at 512²×8) — noise if the 2-7×
-    over-floor gap closes. MEASURE before enabling (see ROADMAP round-4
-    stem notes; the two prior stem attempts were recorded negatives).
+    trip of the stem input (~0.03 ms at 512²×8). MEASURED +0.6% full-recipe
+    throughput on v5e (153.3-153.45 vs 152.53 img/s/chip, ROADMAP round-4;
+    the two prior stem attempts were recorded negatives) — shipped as the
+    DEFAULT via TrainConfig.stem_s2d.
 
     Parameter tree ("kernel" (3,3,3,F), optional "bias") is identical to
     `nn.Conv`, so checkpoint import is unaffected. Requires even H,W
@@ -379,8 +380,17 @@ class ResPSPNet(nn.Module):
     fold_bn: bool = False  # eval-only: BN pre-folded into conv weights/biases
     dense_psp_bottleneck: bool = False  # concat+conv PSP path (parity escape)
     stem_patches_conv1: bool = False  # im2col stem conv1 (measured slower)
-    stem_s2d: bool = False  # space-to-depth folded stem conv1 (measure first)
+    # space-to-depth folded stem conv1: measured +0.6% full-recipe throughput
+    # on v5e (ROADMAP round-4); TrainConfig.stem_s2d defaults it ON
+    stem_s2d: bool = False
     drop_rate: float = 0.1  # PSP/DSN Dropout2d rate; 0.0 disables (oracles)
+    # Uniform channel-width multiplier over the stem / residual plan / DSN /
+    # PSP widths (heads stay at num_classes). 1.0 is the reference geometry
+    # (checkpoint-compatible); fractions give width-scaled family members —
+    # used by dryrun_multichip to exercise the FULL sharded train program at
+    # a fraction of the simulated-device FLOPs. Scaled widths stay even for
+    # mult ≥ 1/32, so the tp (model-axis) channel sharding still divides.
+    width_mult: float = 1.0
     # Rematerialize each residual block on the backward pass (jax.checkpoint
     # per block): activation memory drops from O(depth) intermediates to one
     # saved tensor per block, at the cost of one extra forward inside the
@@ -406,24 +416,25 @@ class ResPSPNet(nn.Module):
         mk_bn = _bn_factory(self.fold_bn, self.axis_name, self.bn_fused)
         bn = lambda name: mk_bn("none", name)
         bias = self.fold_bn
+        wm = lambda c: max(1, int(round(c * self.width_mult)))
         # Stem: 3 -> 64 -> 64 -> 128, stride 2 then ceil-mode 3x3/2 max pool.
         if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            conv1_out = _StemS2DConv1(64, use_bias=bias, dtype=self.dtype,
+            conv1_out = _StemS2DConv1(wm(64), use_bias=bias, dtype=self.dtype,
                                       name="conv1")(x)
         elif self.stem_patches_conv1:
-            conv1_out = _StemConv1(64, use_bias=bias, dtype=self.dtype,
+            conv1_out = _StemConv1(wm(64), use_bias=bias, dtype=self.dtype,
                                    name="conv1")(x)
         else:
-            conv1_out = _conv(64, 3, 2, use_bias=bias, dtype=self.dtype,
+            conv1_out = _conv(wm(64), 3, 2, use_bias=bias, dtype=self.dtype,
                               name="conv1")(x)
         x = nn.relu(bn("bn1")(conv1_out, not train))
-        x = nn.relu(bn("bn2")(_conv(64, 3, 1, use_bias=bias, dtype=self.dtype,
+        x = nn.relu(bn("bn2")(_conv(wm(64), 3, 1, use_bias=bias, dtype=self.dtype,
                                     name="conv2")(x), not train))
-        x = nn.relu(bn("bn3")(_conv(128, 3, 1, use_bias=bias, dtype=self.dtype,
+        x = nn.relu(bn("bn3")(_conv(wm(128), 3, 1, use_bias=bias, dtype=self.dtype,
                                     name="conv3")(x), not train))
         x = max_pool_2d(x, (3, 3), (2, 2), (1, 1), ceil_mode=True)
 
-        inplanes = 128
+        inplanes = wm(128)
         feats = []
         # static_argnums=(2,): (self, x, train) — `train` selects BN mode via
         # Python control flow, so it must stay concrete under jax.checkpoint.
@@ -431,10 +442,10 @@ class ResPSPNet(nn.Module):
                      if self.remat else self._block_cls)
         plan = [
             # (planes, stride, dilation)
-            (64, 1, 1),
-            (128, 2, 1),
-            (256, 1, 2),
-            (512, 1, 4),
+            (wm(64), 1, 1),
+            (wm(128), 2, 1),
+            (wm(256), 1, 2),
+            (wm(512), 1, 4),
         ]
         for li, ((planes, stride, dilation), blocks) in enumerate(zip(plan, self.layers), start=1):
             for bi in range(blocks):
@@ -456,7 +467,7 @@ class ResPSPNet(nn.Module):
         x1, x2, x3, x4 = feats
 
         # DSN auxiliary head from layer3.
-        dsn_mid = 512 if self.block == BOTTLENECK else 128
+        dsn_mid = wm(512) if self.block == BOTTLENECK else wm(128)
         d = _conv(dsn_mid, 3, use_bias=True, dtype=self.dtype, name="dsn_conv1")(x3)
         d = mk_bn("leaky_relu", "dsn_bn")(d, not train)
         d = nn.Dropout(rate=self.drop_rate, broadcast_dims=(1, 2),
@@ -464,7 +475,7 @@ class ResPSPNet(nn.Module):
                        name="dsn_dropout")(d)
         x_dsn = _conv(self.num_classes, 1, use_bias=True, dtype=self.dtype, name="dsn_conv2")(d)
 
-        psp_out = 512 if self.block == BOTTLENECK else 128
+        psp_out = wm(512) if self.block == BOTTLENECK else wm(128)
         x_feat_after_psp = PSPModule(out_features=psp_out, axis_name=self.axis_name,
                                      dtype=self.dtype, bn_fused=self.bn_fused,
                                      fold_bn=self.fold_bn,

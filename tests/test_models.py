@@ -374,3 +374,31 @@ def test_stem_s2d_cli_config_reaches_trainer_models():
     assert trainer.teacher.stem_s2d and trainer.student.stem_s2d
     trainer_off = KDTrainer(off)
     assert not (trainer_off.teacher.stem_s2d or trainer_off.student.stem_s2d)
+
+
+def test_width_mult_scales_channels_and_trains():
+    """width_mult scales stem/plan/DSN/PSP widths uniformly (heads stay at
+    num_classes); 1.0 is the reference geometry (asserted by the width tests
+    above, which all run at the default). Used by dryrun_multichip to run
+    the full sharded program at a fraction of the simulated-device FLOPs."""
+    model = ResPSPNet(block="basic", layers=(1, 1, 1, 1), num_classes=19,
+                      width_mult=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, x_dsn, feat_psp, x4, x3, x2, x1 = model.apply(
+        variables, x, train=False)
+    assert logits.shape[-1] == 19 and x_dsn.shape[-1] == 19  # heads unscaled
+    assert feat_psp.shape[-1] == 64   # 128 * 0.5
+    assert x4.shape[-1] == 256        # 512 * 0.5
+    assert x3.shape[-1] == 128
+    assert x1.shape[-1] == 32
+
+    # and it trains: one CE grad step, finite and non-zero
+    def loss(params):
+        out = model.apply({**variables, "params": params}, x, train=False)
+        return jnp.mean(out[0].astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    norms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert any(n > 0 for n in norms)
