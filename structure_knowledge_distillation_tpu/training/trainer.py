@@ -55,7 +55,11 @@ class KDTrainer:
         self.cfg = cfg
         dtype = _dtype_of(cfg.compute_dtype)
 
-        stem_s2d = bool(getattr(cfg, "stem_s2d", False))
+        # Fallback must track TrainConfig.stem_s2d's default (True): a
+        # config-like object lacking the field (older saved args) would
+        # otherwise silently train the non-default stem, diverging from the
+        # bench/entrypoint configuration.
+        stem_s2d = bool(getattr(cfg, "stem_s2d", True))
         self.teacher = ResPSPNet(
             block="bottleneck",
             layers=tuple(getattr(cfg, "teacher_layers", (3, 4, 23, 3))),

@@ -882,6 +882,12 @@ def test_mesh_loop_chunk2_reuses_compiled_program():
         jnp.asarray(rng.randint(0, 19, (2, 2, 64, 64)).astype(np.int32)), sh)
     valid = np.array([True, True])
 
+    # _cache_size is a private jax API — if a jax upgrade removes it, skip
+    # rather than fail: the feature under test (out_shardings pinning) is
+    # still exercised by the dispatches below; only the cache-hit PROOF
+    # needs the counter.
+    if not hasattr(trainer.train_loop, "_cache_size"):
+        pytest.skip("jax no longer exposes jitted-fn _cache_size()")
     state, m1 = trainer.train_loop(trainer.state, images_k, labels_k, valid)
     assert trainer.train_loop._cache_size() == 1
     state, m2 = trainer.train_loop(state, images_k, labels_k, valid)
