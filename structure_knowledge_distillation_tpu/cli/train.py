@@ -202,6 +202,17 @@ def main(argv=None):
                                seed=cfg.seed, num_workers=cfg.num_workers,
                                num_shards=jax.process_count(),
                                shard_index=jax.process_index())
+    # A resumed/offset run trains only the REMAINING budget: the reference
+    # loop is `range(num_steps - last_step)` after restoring
+    # (train_and_eval.py:20-22, utils/utils.py:108-127). The dataset is
+    # sized to num_steps batches, so without this bound a resumed run would
+    # train num_steps MORE steps past the schedule's end (lr pinned at 0).
+    resume_step = max(int(getattr(trainer, "start_step", 0)), cfg.last_step)
+    if resume_step:
+        import itertools
+
+        host_iter = itertools.islice(
+            host_iter, max(0, cfg.num_steps - resume_step))
     # narrow the host→device wire format (see cast_batches): bf16 images
     # match the model's own input cast; uint8 labels fit every supported
     # dataset (≤254 classes + ignore 255); --wire-format u8 re-quantizes

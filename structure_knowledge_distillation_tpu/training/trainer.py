@@ -446,8 +446,8 @@ class KDTrainer:
                 ckpt.wait_for_saves()
                 log.info(
                     "preempted: full state saved at step %d to %s; rerun "
-                    "with the same snapshot_dir to auto-resume", end,
-                    self._orbax_dir)
+                    "with --S_resume true and the same snapshot_dir to "
+                    "auto-resume", end, self._orbax_dir)
                 break
         return best
 

@@ -90,3 +90,50 @@ def test_camvid_mean_derived_in_config():
     # other datasets keep the cityscapes/voc default
     assert TrainConfig().input_mean_bgr[0] == 104.00698793
     assert TrainConfig(data_set="voc").input_mean_bgr[0] == 104.00698793
+
+
+@pytest.mark.slow
+def test_cli_train_resume_trains_only_remaining_budget(tmp_path):
+    """An auto-resumed run trains num_steps - resumed_step steps, NOT
+    num_steps more: the reference loop is `range(num_steps - last_step)`
+    after restoring (train_and_eval.py:20-22, utils/utils.py:108-127).
+    Regression for the round-5 real-chip leg that resumed at step 300 of a
+    400-step budget and ran to step 700 with the poly lr pinned at 0."""
+    import json
+
+    root = str(tmp_path / "camvid")
+    _make_camvid_tree(root)
+    list_dir = str(tmp_path / "dataset" / "list" / "camvid")
+
+    common = [
+        "--data-set", "camvid",
+        "--data-dir", root,
+        "--data-list", os.path.join(list_dir, "train.lst"),
+        "--val-data-list", os.path.join(list_dir, "val.lst"),
+        "--classes_num", "11",
+        "--student-arch", "espnet",
+        "--teacher-layers", "1,1,1,1",
+        "--input-size", "96,128",
+        "--imsize-for-adv", "33",
+        "--adv-conv-dim", "16",
+        "--compute-dtype", "float32",
+        "--pi", "true", "--pa", "false", "--ho", "false",
+        "--batch-size", "2",
+        "--eval-every", "2",
+        "--log-every", "1",
+        "--snapshot-dir", str(tmp_path / "snap"),
+        # resolves to nothing -> the S_resume branch falls through to
+        # try_resume (newest async orbax checkpoint in snapshot_dir)
+        "--S_ckpt_path", str(tmp_path / "no-such-student"),
+    ]
+    # leg 1: 2 of 4 steps; the eval at step 2 writes the async orbax ckpt
+    cli_train.main(common + ["--num-steps", "2",
+                             "--log-path", str(tmp_path / "log1")])
+
+    # leg 2: same snapshot_dir, full 4-step budget -> exactly steps 3, 4
+    cli_train.main(common + ["--num-steps", "4", "--S_resume", "true",
+                             "--log-path", str(tmp_path / "log2")])
+    with open(tmp_path / "log2" / "scalars.jsonl") as f:
+        rows = [json.loads(line) for line in f]
+    train_steps = sorted(r["step"] for r in rows if "g_loss" in r)
+    assert train_steps == [3, 4], train_steps
