@@ -41,11 +41,9 @@ def main():
 
     base = ResPSPNet(block="basic", layers=(2, 2, 2, 2), num_classes=19,
                      dtype=jnp.bfloat16)
-    shapes = jax.eval_shape(
-        lambda: base.init(key, image[:, :64, :64], train=False))
-    # positive running var so both the eval BN and the fold are well-posed
-    variables = jax.tree.map(
-        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    # real random init (flax BN running var inits to 1 — fold well-posed);
+    # constant params would tie every argmax and void the agreement check
+    variables = base.init(key, image[:, :64, :64], train=False)
 
     folded_model = ResPSPNet(block="basic", layers=(2, 2, 2, 2),
                              num_classes=19, dtype=jnp.bfloat16,
@@ -53,17 +51,19 @@ def main():
     folded_vars = jax.tree.map(jnp.asarray, fold_bn_variables(
         jax.tree.map(np.asarray, variables)))
 
+    h = jnp.int32(out_size[0])
+    w = jnp.int32(out_size[1])
     results = {}
     for name, model, vars_ in (("standard", base, variables),
                                ("fold_bn ", folded_model, folded_vars)):
         val_fn = make_fast_val_fn(model, out_size, 19, ignore_label=255)
         for _ in range(3):
-            pred, conf = val_fn(vars_, image, label)
+            pred, conf = val_fn(vars_, image, label, h, w)
         float(np.asarray(conf)[0, 0])  # value fetch = the only real fence
         steps = 20
         t0 = time.perf_counter()
         for _ in range(steps):
-            pred, conf = val_fn(vars_, image, label)
+            pred, conf = val_fn(vars_, image, label, h, w)
         float(np.asarray(conf)[0, 0])
         dt = (time.perf_counter() - t0) / steps * 1e3
         results[name.strip()] = (dt, np.asarray(pred))
