@@ -73,10 +73,15 @@ def main() -> None:
     p.add_argument("--arm-steps", default=300, type=int)
     p.add_argument("--seeds", default="0,1", type=str)
     p.add_argument("--out", default="/tmp/ablate_kd.json", type=str)
+    p.add_argument("--state-dir", default="/tmp/ablate_kd_state", type=str,
+                   help="resume cache: trained teacher + per-(arm,seed) "
+                        "results land here so a relay failure mid-run only "
+                        "costs the interrupted leg on relaunch")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tiny smoke runs only)")
     a = p.parse_args()
     seeds = [int(s) for s in a.seeds.split(",")]
+    os.makedirs(a.state_dir, exist_ok=True)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sskd_jax_cache")
 
@@ -146,7 +151,11 @@ def main() -> None:
             fused_ce="true" if on_tpu else "false",
         )
 
-    def build(cfg: TrainConfig, student, teacher, t_vars, seed: int):
+    # Jitted loops memoized per arm: seeds share one compiled program.
+    _loops: dict = {}
+
+    def build(cfg: TrainConfig, student, teacher, t_vars, seed: int,
+              arm: str):
         key = jax.random.PRNGKey(seed)
         ks, kd, kst = jax.random.split(key, 3)
         dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
@@ -161,24 +170,49 @@ def main() -> None:
                         cfg.weight_decay)
         d_tx = make_sgd(cfg.lr_d, cfg.num_steps, cfg.power, cfg.momentum,
                         cfg.weight_decay)
-        state = create_train_state(kst, t_vars, s_vars, d_vars, g_tx, d_tx)
-        step_fn = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
-        loop = jax.jit(make_train_loop(step_fn, UNROLL), donate_argnums=(0,))
-        return state, loop
+        # The loop donates the whole state, which holds the teacher params
+        # BY REFERENCE — without a device-side copy, the first donated call
+        # of one arm deletes the shared teacher buffers out from under every
+        # later arm/seed (hit for real: seed 1 raised InvalidArgument at the
+        # first fetch).
+        state = create_train_state(kst, jax.tree.map(jnp.copy, t_vars),
+                                   s_vars, d_vars, g_tx, d_tx)
+        if arm not in _loops:
+            step_fn = make_train_step(cfg, teacher, student, disc, g_tx, d_tx)
+            _loops[arm] = jax.jit(
+                make_train_loop(step_fn, UNROLL), donate_argnums=(0,))
+        return state, _loops[arm]
 
-    def train(state, loop, steps: int, seed: int):
+    # Fence every K chunks: without this, all dispatches queue async and a
+    # hung relay only surfaces at the end-of-leg fetch ~20 min later (hit
+    # for real: attempt 1 of the TPU run sat silent 30+ min mid-pretrain).
+    FENCE_EVERY = 20
+
+    def train(state, loop, steps: int, seed: int, tag: str = ""):
         last = None
-        for chunk in range(steps // UNROLL):
+        n_chunks = steps // UNROLL
+        for chunk in range(n_chunks):
             images_k, labels_k = gen_chunk(data_key(seed, chunk))
             state, metrics_k = loop(state, images_k, labels_k)
             last = metrics_k
+            if (chunk + 1) % FENCE_EVERY == 0 and chunk + 1 < n_chunks:
+                g = float(np.asarray(last["g_loss"])[-1])
+                print(f"[ablate +{time.perf_counter()-t0:6.1f}s]   {tag}"
+                      f" chunk {chunk+1}/{n_chunks} g_loss {g:.4f}",
+                      flush=True)
         # value fetch = the only reliable fence on the axon relay
         g_final = float(np.asarray(last["g_loss"])[-1])
         return state, g_final
 
+    # ONE jitted val program per model (a fresh jax.jit per evaluate() call
+    # would recompile ~1 min on-chip each time — CLAUDE.md quirks).
+    _val_fns: dict = {}
+
     def evaluate(model, variables, seed_offset: int = 10**6):
-        val_fn = make_fast_val_batch_fn(model, (SIZE, SIZE), CLASSES,
-                                        ignore_label=255)
+        if id(model) not in _val_fns:
+            _val_fns[id(model)] = make_fast_val_batch_fn(
+                model, (SIZE, SIZE), CLASSES, ignore_label=255)
+        val_fn = _val_fns[id(model)]
         hs = jnp.full((BATCH,), SIZE, jnp.int32)
         ws = jnp.full((BATCH,), SIZE, jnp.int32)
         conf = np.zeros((CLASSES, CLASSES), np.int64)
@@ -201,29 +235,53 @@ def main() -> None:
 
     # ---- 1) teacher pretrain: higher capacity (bottleneck), long budget,
     # plain task loss (pi=pa=ho off; the unused reference-teacher forward is
-    # dead code XLA eliminates).
-    print(f"[ablate +{time.perf_counter()-t0:6.1f}s] teacher pretrain "
-          f"({a.teacher_steps} steps) ...", flush=True)
+    # dead code XLA eliminates). The trained teacher is cached in state-dir:
+    # the axon relay has killed this run mid-flight twice, and the pretrain
+    # is the single most expensive leg (~9 min), so relaunches reload it.
+    from flax import serialization
+
     t_dtype = jnp.bfloat16 if on_tpu else None
     teacher = ResPSPNet(block="bottleneck", layers=(1, 1, 1, 1),
                         num_classes=CLASSES, dtype=t_dtype)
-    cfg_t = make_cfg(pi=False, pa=False, ho=False, num_steps=a.teacher_steps)
-    # zero-shaped teacher vars: the reference-teacher forward is traced but
-    # unused under pi=pa=ho=False, so XLA dead-code-eliminates it — the
-    # zeros only have to satisfy flax's param-tree check, never run
     t_shapes = jax.eval_shape(
         lambda: teacher.init(jax.random.PRNGKey(0),
                              jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
                              train=False))
     dummy_t_vars = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t_shapes)
-    state_t, loop_t = build(cfg_t, teacher, teacher, dummy_t_vars, seed=999)
-    state_t, t_loss = train(state_t, loop_t, a.teacher_steps, seed=999)
-    t_vars = {"params": state_t.student_params,
-              "batch_stats": state_t.student_stats}
-    teacher_miou = evaluate(teacher, t_vars)
-    results["teacher"] = {"final_loss": t_loss, "val_mean_iu": teacher_miou}
-    print(f"[ablate +{time.perf_counter()-t0:6.1f}s] teacher val mIoU "
-          f"{teacher_miou:.4f} (loss {t_loss:.4f})", flush=True)
+    t_tag = f"{jax.default_backend()}_s{a.teacher_steps}"
+    t_ckpt = os.path.join(a.state_dir, f"teacher_{t_tag}.msgpack")
+    t_meta = os.path.join(a.state_dir, f"teacher_{t_tag}.json")
+    if os.path.exists(t_ckpt) and os.path.exists(t_meta):
+        with open(t_ckpt, "rb") as f:
+            t_vars = serialization.from_bytes(dummy_t_vars, f.read())
+        with open(t_meta) as f:
+            results["teacher"] = json.load(f)
+        print(f"[ablate +{time.perf_counter()-t0:6.1f}s] teacher resumed "
+              f"from {t_ckpt} (val mIoU "
+              f"{results['teacher']['val_mean_iu']:.4f})", flush=True)
+    else:
+        print(f"[ablate +{time.perf_counter()-t0:6.1f}s] teacher pretrain "
+              f"({a.teacher_steps} steps) ...", flush=True)
+        cfg_t = make_cfg(pi=False, pa=False, ho=False,
+                         num_steps=a.teacher_steps)
+        # zero-shaped teacher vars: the reference-teacher forward is traced
+        # but unused under pi=pa=ho=False, so XLA dead-code-eliminates it —
+        # the zeros only have to satisfy flax's param-tree check, never run
+        state_t, loop_t = build(cfg_t, teacher, teacher, dummy_t_vars,
+                                seed=999, arm="teacher")
+        state_t, t_loss = train(state_t, loop_t, a.teacher_steps, seed=999,
+                                tag="teacher")
+        t_vars = {"params": state_t.student_params,
+                  "batch_stats": state_t.student_stats}
+        teacher_miou = evaluate(teacher, t_vars)
+        results["teacher"] = {"final_loss": t_loss,
+                              "val_mean_iu": teacher_miou}
+        with open(t_ckpt, "wb") as f:
+            f.write(serialization.to_bytes(t_vars))
+        with open(t_meta, "w") as f:
+            json.dump(results["teacher"], f)
+        print(f"[ablate +{time.perf_counter()-t0:6.1f}s] teacher val mIoU "
+              f"{teacher_miou:.4f} (loss {t_loss:.4f})", flush=True)
 
     # ---- 2) four arms x seeds, identical data/budget.
     arms = [
@@ -239,16 +297,31 @@ def main() -> None:
         cfg = make_cfg(num_steps=a.arm_steps, **flags)
         mious, losses = [], []
         for seed in seeds:
-            state, loop = build(cfg, student, teacher, t_vars, seed=seed)
-            state, loss = train(state, loop, a.arm_steps, seed=seed)
-            s_vars = {"params": state.student_params,
-                      "batch_stats": state.student_stats}
-            miou = evaluate(student, s_vars)
+            # resumable leg: a finished (arm, seed) is loaded, not re-run
+            leg = os.path.join(
+                a.state_dir, f"arm_{name}_{seed}_{t_tag}_a{a.arm_steps}.json")
+            if os.path.exists(leg):
+                with open(leg) as f:
+                    rec = json.load(f)
+                miou, loss = rec["val_mean_iu"], rec["final_loss"]
+                print(f"[ablate +{time.perf_counter()-t0:6.1f}s] arm "
+                      f"{name:<9} seed {seed}: resumed val mIoU {miou:.4f}",
+                      flush=True)
+            else:
+                state, loop = build(cfg, student, teacher, t_vars, seed=seed,
+                                    arm=name)
+                state, loss = train(state, loop, a.arm_steps, seed=seed,
+                                    tag=f"{name}/s{seed}")
+                s_vars = {"params": state.student_params,
+                          "batch_stats": state.student_stats}
+                miou = evaluate(student, s_vars)
+                with open(leg, "w") as f:
+                    json.dump({"val_mean_iu": miou, "final_loss": loss}, f)
+                print(f"[ablate +{time.perf_counter()-t0:6.1f}s] arm "
+                      f"{name:<9} seed {seed}: val mIoU {miou:.4f} "
+                      f"(loss {loss:.4f})", flush=True)
             mious.append(miou)
             losses.append(loss)
-            print(f"[ablate +{time.perf_counter()-t0:6.1f}s] arm {name:<9}"
-                  f" seed {seed}: val mIoU {miou:.4f} (loss {loss:.4f})",
-                  flush=True)
         results["arms"][name] = {
             "val_mean_iu": mious,
             "mean": float(np.mean(mious)),
