@@ -71,6 +71,14 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--teacher-steps", default=1200, type=int)
     p.add_argument("--arm-steps", default=300, type=int)
+    p.add_argument("--train-chunks", default=0, type=int,
+                   help="if >0, the four arms train on a FIXED pool of this "
+                        "many data chunks (UNROLL*BATCH images each), cycled "
+                        "as epochs — the reference's actual regime "
+                        "(Cityscapes: 2975 images x 40k steps x batch 8 = "
+                        "~107 epochs of reuse) where the teacher's extra "
+                        "information regularizes an overfitting student. "
+                        "0 = every chunk fresh (infinite stream).")
     p.add_argument("--seeds", default="0,1", type=str)
     p.add_argument("--out", default="/tmp/ablate_kd.json", type=str)
     p.add_argument("--state-dir", default="/tmp/ablate_kd_state", type=str,
@@ -188,11 +196,15 @@ def main() -> None:
     # for real: attempt 1 of the TPU run sat silent 30+ min mid-pretrain).
     FENCE_EVERY = 20
 
-    def train(state, loop, steps: int, seed: int, tag: str = ""):
+    def train(state, loop, steps: int, seed: int, tag: str = "",
+              train_chunks: int = 0):
         last = None
         n_chunks = steps // UNROLL
         for chunk in range(n_chunks):
-            images_k, labels_k = gen_chunk(data_key(seed, chunk))
+            # train_chunks>0 = finite pool cycled as epochs (arms only);
+            # val keys live at 10**6+, so the pool never leaks into eval.
+            data_chunk = chunk % train_chunks if train_chunks else chunk
+            images_k, labels_k = gen_chunk(data_key(seed, data_chunk))
             state, metrics_k = loop(state, images_k, labels_k)
             last = metrics_k
             if (chunk + 1) % FENCE_EVERY == 0 and chunk + 1 < n_chunks:
@@ -230,6 +242,7 @@ def main() -> None:
                  "noise_sigma": NOISE_SIGMA, "field_res": FIELD_RES,
                  "val_images": VAL_IMAGES},
         "teacher_steps": a.teacher_steps, "arm_steps": a.arm_steps,
+        "train_chunks": a.train_chunks,
         "seeds": seeds, "backend": jax.default_backend(),
     }
 
@@ -298,8 +311,10 @@ def main() -> None:
         mious, losses = [], []
         for seed in seeds:
             # resumable leg: a finished (arm, seed) is loaded, not re-run
+            tc_tag = f"_tc{a.train_chunks}" if a.train_chunks else ""
             leg = os.path.join(
-                a.state_dir, f"arm_{name}_{seed}_{t_tag}_a{a.arm_steps}.json")
+                a.state_dir,
+                f"arm_{name}_{seed}_{t_tag}_a{a.arm_steps}{tc_tag}.json")
             if os.path.exists(leg):
                 with open(leg) as f:
                     rec = json.load(f)
@@ -311,7 +326,8 @@ def main() -> None:
                 state, loop = build(cfg, student, teacher, t_vars, seed=seed,
                                     arm=name)
                 state, loss = train(state, loop, a.arm_steps, seed=seed,
-                                    tag=f"{name}/s{seed}")
+                                    tag=f"{name}/s{seed}",
+                                    train_chunks=a.train_chunks)
                 s_vars = {"params": state.student_params,
                           "batch_stats": state.student_stats}
                 miou = evaluate(student, s_vars)
